@@ -1,0 +1,330 @@
+"""Functional Llama-3/3.1 decoder.
+
+Capabilities mirror the reference model (modelling/llama.py): GQA attention with RoPE
+(incl. Llama-3.1 long-context rescale), SwiGLU MLP, pre-RMSNorm blocks, untied LM head,
+fused-loss forward (scalar CE when labels given), per-layer activation checkpointing,
+static full-length KV cache for decode. The *design* is idiomatic JAX:
+
+- params are a pytree of dicts; transformer layers are STACKED on a leading axis and the
+  trunk is a single ``lax.scan`` over them (one compilation of the block, not N).
+- the model is a set of pure functions (``init``, ``forward``, ``trunk``, ...) — no
+  module objects, so sharding/LoRA/quantization are plain tree transforms.
+- masks are static-shape metadata (``MaskInfo``), never materialized [S, S] bool buffers
+  on the hot path (the reference registers a tril buffer, modelling/llama.py:194).
+- activation checkpointing is ``jax.checkpoint`` around the scanned block
+  (≡ modelling/llama.py:209-212).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from llama_x_tpu.ops.attention import MaskInfo, dot_product_attention
+from llama_x_tpu.ops.cross_entropy import cross_entropy_loss, fused_linear_cross_entropy
+from llama_x_tpu.ops.linear import apply_linear
+from llama_x_tpu.ops.norms import rms_norm
+from llama_x_tpu.ops.rope import apply_rope, build_rope
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    """Model hyperparameters (≡ modelling/llama.py:17-29) plus TPU-side knobs."""
+
+    embed_dim: int
+    num_layers: int
+    head_dim: int
+    num_heads: int
+    num_kv_heads: int
+    intermediate_dim: int
+    max_seq_len: int = 2048
+    vocab_size: int = 128_256  # Llama3
+    attn_dropout: float = 0.0
+    rope_base: float = 50_000.0
+    is_llama3_1: bool = False
+    activation_checkpointing: bool = False
+    # --- TPU-native knobs (no reference counterpart) ---
+    attn_impl: str = "auto"  # "auto" | "xla" | "flash"
+    fused_ce_chunks: int = 0  # 0 = plain CE; >0 = chunked fused-linear CE
+    dynamic_int8_act: bool = False  # set by the quantize transform
+    norm_eps: float = 1e-5
+
+    def replace(self, **kw) -> "LlamaConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def tiny_config(**kw) -> LlamaConfig:
+    """A CPU-runnable config for tests (BASELINE config 1)."""
+    base = dict(
+        embed_dim=64,
+        num_layers=2,
+        head_dim=16,
+        num_heads=4,
+        num_kv_heads=2,
+        intermediate_dim=128,
+        max_seq_len=128,
+        vocab_size=256,
+    )
+    base.update(kw)
+    return LlamaConfig(**base)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _init_linear(key, fan_in: int, fan_out: int, dtype) -> Params:
+    # kaiming-uniform(a=sqrt(5)) over fan_in — torch nn.Linear default init
+    bound = (6.0 / ((1 + 5.0) * fan_in)) ** 0.5
+    k = jax.random.uniform(key, (fan_in, fan_out), jnp.float32, -bound, bound)
+    return {"kernel": k.astype(dtype)}
+
+
+def init(key: jax.Array, config: LlamaConfig, dtype=jnp.bfloat16) -> Params:
+    """Random init (tests / from-scratch). HF import builds the same tree from weights."""
+    c = config
+    keys = iter(jax.random.split(key, 16))
+
+    def stack_linear(k, fan_in, fan_out):
+        ks = jax.random.split(k, c.num_layers)
+        return {"kernel": jnp.stack([_init_linear(ks[i], fan_in, fan_out, dtype)["kernel"] for i in range(c.num_layers)])}
+
+    d, hd, nh, nkv, ffn = c.embed_dim, c.head_dim, c.num_heads, c.num_kv_heads, c.intermediate_dim
+    params = {
+        "tok_embeddings": {
+            "weight": (jax.random.normal(next(keys), (c.vocab_size, d), jnp.float32)).astype(dtype)
+        },
+        "layers": {
+            "attention_norm": {"scale": jnp.ones((c.num_layers, d), dtype)},
+            "attention": {
+                "wq": stack_linear(next(keys), d, nh * hd),
+                "wk": stack_linear(next(keys), d, nkv * hd),
+                "wv": stack_linear(next(keys), d, nkv * hd),
+                "wo": stack_linear(next(keys), nh * hd, d),
+            },
+            "ffn_norm": {"scale": jnp.ones((c.num_layers, d), dtype)},
+            "feed_forward": {
+                "w1": stack_linear(next(keys), d, ffn),
+                "w3": stack_linear(next(keys), d, ffn),
+                "w2": stack_linear(next(keys), ffn, d),
+            },
+        },
+        "norm": {"scale": jnp.ones((d,), dtype)},
+        "output": _init_linear(next(keys), d, c.vocab_size, dtype),
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def attention(
+    p: Params,
+    config: LlamaConfig,
+    x: jnp.ndarray,
+    rope: jnp.ndarray,
+    mask_info: MaskInfo,
+    cache: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    input_pos: jnp.ndarray | None = None,
+):
+    """GQA attention (≡ modelling/llama.py:93-140). x: [B, S, D].
+
+    When ``cache`` is given, k/v are scattered into the static full-length cache at
+    ``input_pos`` and attention runs over the whole cache (decode path,
+    ≡ modelling/llama.py:126-127, KVCache.update llama.py:83-90).
+    Returns (out, new_cache).
+    """
+    c = config
+    B, S, _ = x.shape
+    q = apply_linear(x, p["wq"], dynamic_int8_act=c.dynamic_int8_act).reshape(B, S, c.num_heads, c.head_dim)
+    k = apply_linear(x, p["wk"], dynamic_int8_act=c.dynamic_int8_act).reshape(B, S, c.num_kv_heads, c.head_dim)
+    v = apply_linear(x, p["wv"], dynamic_int8_act=c.dynamic_int8_act).reshape(B, S, c.num_kv_heads, c.head_dim)
+
+    if input_pos is None:
+        q = apply_rope(q, rope)
+        k = apply_rope(k, rope)
+    else:
+        q = apply_rope(q, rope, positions=input_pos)
+        k = apply_rope(k, rope, positions=input_pos)
+
+    new_cache = None
+    if cache is not None:
+        k_cache, v_cache = cache  # [B, max_seq_len, n_kv, hd]
+        assert input_pos is not None
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, input_pos[0], 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, input_pos[0], 0, 0))
+        new_cache = (k_cache, v_cache)
+        k, v = k_cache, v_cache
+
+    use_flash = config.attn_impl == "flash" or (
+        config.attn_impl == "auto" and cache is None and jax.default_backend() == "tpu"
+    )
+    if use_flash:
+        from llama_x_tpu.ops.flash_attention import flash_attention
+
+        out = flash_attention(q, k, v, mask_info)
+    else:
+        out = dot_product_attention(q, k, v, mask_info)
+
+    out = out.reshape(B, S, c.num_heads * c.head_dim)
+    return apply_linear(out, p["wo"], dynamic_int8_act=c.dynamic_int8_act), new_cache
+
+
+def feed_forward(p: Params, config: LlamaConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """SwiGLU: w2(silu(w1 x) * w3 x) (≡ modelling/llama.py:143-152)."""
+    d = config.dynamic_int8_act
+    h = jax.nn.silu(apply_linear(x, p["w1"], dynamic_int8_act=d)) * apply_linear(x, p["w3"], dynamic_int8_act=d)
+    return apply_linear(h, p["w2"], dynamic_int8_act=d)
+
+
+def block(
+    p: Params,
+    config: LlamaConfig,
+    x: jnp.ndarray,
+    rope: jnp.ndarray,
+    mask_info: MaskInfo,
+    cache=None,
+    input_pos=None,
+):
+    """Pre-norm transformer layer (≡ modelling/llama.py:155-174)."""
+    attn_out, new_cache = attention(
+        p["attention"], config, rms_norm(x, p["attention_norm"]["scale"], config.norm_eps), rope, mask_info, cache, input_pos
+    )
+    x = x + attn_out
+    x = x + feed_forward(p["feed_forward"], config, rms_norm(x, p["ffn_norm"]["scale"], config.norm_eps))
+    return x, new_cache
+
+
+def trunk(
+    params: Params,
+    config: LlamaConfig,
+    x: jnp.ndarray,
+    mask_info: MaskInfo,
+    kv_cache: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    input_pos: jnp.ndarray | None = None,
+):
+    """Scan the stacked layers. x: [B, S, D] embeddings. Returns (x, new_kv_cache).
+
+    kv_cache, if given, is a pair of [num_layers, B, max_seq_len, n_kv, hd] arrays.
+    """
+    rope = build_rope(config.max_seq_len, config.head_dim, config.rope_base, config.is_llama3_1)
+    if input_pos is None:
+        rope = rope[: x.shape[1]]
+
+    layer_params = params["layers"]
+
+    if kv_cache is None:
+
+        def body(carry, p):
+            out, _ = block(p, config, carry, rope, mask_info)
+            return out, None
+
+        if config.activation_checkpointing:
+            body = jax.checkpoint(body, prevent_cse=False)
+        x, _ = jax.lax.scan(body, x, layer_params)
+        return x, None
+
+    def body(carry, scanned):
+        p, ck, cv = scanned
+        out, new_cache = block(p, config, carry, rope, mask_info, cache=(ck, cv), input_pos=input_pos)
+        return out, new_cache
+
+    x, (new_k, new_v) = jax.lax.scan(body, x, (layer_params, kv_cache[0], kv_cache[1]))
+    return x, (new_k, new_v)
+
+
+def head(params: Params, config: LlamaConfig, x: jnp.ndarray, labels: jnp.ndarray | None = None):
+    """Final norm + LM head; fused loss when labels given (≡ modelling/llama.py:216-219)."""
+    x = rms_norm(x, params["norm"]["scale"], config.norm_eps)
+    if labels is not None and config.fused_ce_chunks > 0:
+        n = x.shape[0] * x.shape[1]
+        return fused_linear_cross_entropy(
+            x.reshape(n, -1), params["output"]["kernel"], labels.reshape(n), config.fused_ce_chunks
+        )
+    logits = apply_linear(x, params["output"], dynamic_int8_act=False)
+    if labels is not None:
+        return cross_entropy_loss(logits, labels)
+    return logits
+
+
+def forward(
+    params: Params,
+    config: LlamaConfig,
+    tokens: jnp.ndarray,
+    *,
+    segment_ids: jnp.ndarray | None = None,
+    labels: jnp.ndarray | None = None,
+    kv_cache=None,
+    input_pos: jnp.ndarray | None = None,
+    kv_len: jnp.ndarray | None = None,
+):
+    """Training/prefill/decode forward (≡ Llama.forward, modelling/llama.py:196-219).
+
+    - training: tokens [B, S] (+ optional segment_ids for packed document masking,
+      + labels for the fused scalar loss).
+    - decode: kv_cache + input_pos [S] + kv_len [B]; attention over the full cache.
+    Returns logits [B, S, V] or scalar loss; and the new kv_cache when one was passed.
+    """
+    x = jnp.take(params["tok_embeddings"]["weight"], tokens, axis=0)
+
+    if kv_cache is not None:
+        q_pos = input_pos[None, :] if input_pos is not None else None
+        mask_info = MaskInfo(causal=True, q_positions=q_pos, kv_len=kv_len)
+    else:
+        mask_info = MaskInfo(causal=True, segment_ids=segment_ids)
+
+    x, new_cache = trunk(params, config, x, mask_info, kv_cache, input_pos)
+    out = head(params, config, x, labels)
+    if kv_cache is not None:
+        return out, new_cache
+    return out
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+
+def init_kv_cache(config: LlamaConfig, batch_size: int, dtype=jnp.bfloat16):
+    """Static full-length cache (≡ KVCache, modelling/llama.py:76-90), stacked per layer.
+
+    Layout [L, B, S, n_kv, hd] — sequence axis second-to-last-but-one keeps the scatter
+    at input_pos a cheap dynamic_update_slice on a contiguous (n_kv*hd) row.
+    """
+    shape = (config.num_layers, batch_size, config.max_seq_len, config.num_kv_heads, config.head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+class Llama:
+    """Thin OO convenience wrapper over the functional API (used by trainers/tests).
+
+    Holds (params, config); all compute goes through the pure functions above, so this
+    wrapper never appears inside jit.
+    """
+
+    def __init__(self, params: Params, config: LlamaConfig):
+        self.params = params
+        self.config = config
+
+    @classmethod
+    def init(cls, key, config: LlamaConfig, dtype=jnp.bfloat16) -> "Llama":
+        return cls(init(key, config, dtype), config)
+
+    @classmethod
+    def from_hf(cls, model_id_or_path: str, **kwargs) -> "Llama":
+        from llama_x_tpu.models.hf import load_llama
+
+        params, config = load_llama(model_id_or_path, **kwargs)
+        return cls(params, config)
+
+    def __call__(self, tokens, **kw):
+        return forward(self.params, self.config, tokens, **kw)

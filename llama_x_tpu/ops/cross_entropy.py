@@ -1,0 +1,111 @@
+"""Cross-entropy loss fused into the forward pass.
+
+The reference returns a scalar fp32 F.cross_entropy with ignore_index=-100 when labels
+are given (modelling/llama.py:217-219) — loss-in-forward is load-bearing for memory.
+Two implementations:
+
+- ``cross_entropy_loss``: plain fp32 log-softmax CE over materialized logits. Fine for
+  tiny configs and the oracle for the chunked version.
+- ``fused_linear_cross_entropy``: takes the final hidden states + the LM-head kernel and
+  computes the CE *without keeping the full [B*S, vocab] fp32 logits live*: a custom_vjp
+  processes rows in chunks, recomputing logits per chunk in both passes. For Llama-3's
+  128,256-vocab head this cuts peak memory by the full logits tensor (the dominant
+  activation at long sequence lengths).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+IGNORE_INDEX = -100
+
+
+def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Mean fp32 CE over positions where labels != -100. logits [..., V], labels [...]."""
+    logits = logits.astype(jnp.float32).reshape(-1, logits.shape[-1])
+    labels = labels.reshape(-1)
+    valid = labels != IGNORE_INDEX
+    safe_labels = jnp.where(valid, labels, 0)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    gold = jnp.take_along_axis(logits, safe_labels[:, None], axis=-1)[:, 0]
+    losses = jnp.where(valid, logz - gold, 0.0)
+    n = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(losses) / n
+
+
+def _chunk(x, i, num_chunks):
+    size = x.shape[0] // num_chunks
+    return jax.lax.dynamic_slice_in_dim(x, i * size, size, axis=0)
+
+
+def _flce_forward(hidden, kernel, labels, num_chunks):
+    n, _ = hidden.shape
+    assert n % num_chunks == 0, f"rows {n} not divisible by num_chunks {num_chunks}"
+    valid = labels != IGNORE_INDEX
+    safe_labels = jnp.where(valid, labels, 0)
+    kf = kernel.astype(jnp.float32)
+
+    def body(i, sum_loss):
+        h = _chunk(hidden, i, num_chunks).astype(jnp.float32)
+        lbl = _chunk(safe_labels, i, num_chunks)
+        vld = _chunk(valid, i, num_chunks)
+        logits = h @ kf
+        logz = jax.nn.logsumexp(logits, axis=-1)
+        gold = jnp.take_along_axis(logits, lbl[:, None], axis=-1)[:, 0]
+        return sum_loss + jnp.sum(jnp.where(vld, logz - gold, 0.0))
+
+    sum_loss = jax.lax.fori_loop(0, num_chunks, body, jnp.zeros((), jnp.float32))
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    return sum_loss / n_valid, n_valid
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_linear_cross_entropy(
+    hidden: jnp.ndarray, kernel: jnp.ndarray, labels: jnp.ndarray, num_chunks: int = 8
+) -> jnp.ndarray:
+    """CE( hidden @ kernel , labels ) computed in row chunks; custom backward.
+
+    hidden: [N, D] (flattened batch*seq), kernel: [D, V], labels: [N] int32.
+    """
+    return _flce_forward(hidden, kernel, labels, num_chunks)[0]
+
+
+def _flce_fwd(hidden, kernel, labels, num_chunks):
+    loss, n_valid = _flce_forward(hidden, kernel, labels, num_chunks)
+    return loss, (hidden, kernel, labels, n_valid)
+
+
+def _flce_bwd(num_chunks, res, g):
+    hidden, kernel, labels, n_valid = res
+    valid = labels != IGNORE_INDEX
+    safe_labels = jnp.where(valid, labels, 0)
+    kf = kernel.astype(jnp.float32)
+    size = hidden.shape[0] // num_chunks
+    vocab = kernel.shape[1]
+
+    def body(i, acc):
+        dh, dk = acc
+        h = _chunk(hidden, i, num_chunks).astype(jnp.float32)
+        lbl = _chunk(safe_labels, i, num_chunks)
+        vld = _chunk(valid, i, num_chunks).astype(jnp.float32)
+        logits = h @ kf
+        probs = jax.nn.softmax(logits, axis=-1)
+        onehot = jax.nn.one_hot(lbl, vocab, dtype=jnp.float32)
+        dlogits = (probs - onehot) * vld[:, None]  # [size, V]
+        dh = jax.lax.dynamic_update_slice_in_dim(dh, dlogits @ kf.T, i * size, axis=0)
+        dk = dk + h.T @ dlogits
+        return (dh, dk)
+
+    dh0 = jnp.zeros(hidden.shape, jnp.float32)
+    dk0 = jnp.zeros(kernel.shape, jnp.float32)
+    dh, dk = jax.lax.fori_loop(0, num_chunks, body, (dh0, dk0))
+    scale = g / n_valid.astype(jnp.float32)
+    dlabels = np.zeros(labels.shape, dtype=jax.dtypes.float0)  # int primal → float0 cotangent
+    return (dh * scale).astype(hidden.dtype), (dk * scale).astype(kernel.dtype), dlabels
+
+
+fused_linear_cross_entropy.defvjp(_flce_fwd, _flce_bwd)

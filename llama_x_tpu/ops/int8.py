@@ -1,0 +1,102 @@
+"""int8 rowwise weight quantization + quantized matmul with the reference's exact autograd.
+
+Behavior spec (subclasses/int8.py):
+- rowwise symmetric quant over the *output-feature* axis: scale = absmax(row)/127,
+  clipped at 1e-12, values rounded to int8 (int8.py:10-16).
+- forward, dynamic activation quant ON: rowwise-quantize the activations too and run an
+  int8 x int8 GEMM with a fused (row_scale x col_scale) dequant epilogue (int8.py:111-114,
+  the Triton kernel int8_mm.py) — on TPU this is the Pallas MXU kernel in
+  ``ops/int8_mm.py``; an XLA fallback composes the same math.
+- forward, OFF: weight-only mixed mm ``(x @ W_i8.T.astype(dtype)) * scale`` (int8.py:118).
+- backward: grad_input = (g * w_scale) @ W_i8, NO weight gradient ever — the int8 base is
+  frozen by construction (int8.py:123-130).
+
+In JAX the "tensor subclass" becomes an explicit param subtree
+``{"int_data": int8[out,in], "scale": dtype[out]}`` and a custom_vjp matmul. int leaves
+are non-differentiable, so freezing falls out of the dtype.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_int8_rowwise(x: jnp.ndarray):
+    """Symmetric rowwise int8 quant. x: [R, C] float -> (int8 [R, C], scale [R] x.dtype).
+
+    Matches subclasses/int8.py:10-16: fp32 math, scale = absmax/127 clipped at 1e-12,
+    round-half-to-even (torch.round and jnp.rint both round half to even).
+    """
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=1) / 127.0
+    q = xf / jnp.clip(scale, 1e-12, None)[:, None]
+    q = jnp.rint(q).astype(jnp.int8)
+    return q, scale.astype(dtype)
+
+
+def _int8_mm_dequant_xla(a_i8, b_i8, row_scale, col_scale, out_dtype):
+    """XLA fallback for the Pallas kernel: int8 x int8 -> int32, dequant epilogue.
+
+    a_i8 [M, K], b_i8 [K, N], row_scale [M], col_scale [N] -> [M, N] out_dtype.
+    """
+    acc = jax.lax.dot_general(
+        a_i8,
+        b_i8,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * row_scale.astype(jnp.float32)[:, None] * col_scale.astype(jnp.float32)[None, :]
+    return out.astype(out_dtype)
+
+
+def int8_mm_dequant(a_i8, b_i8, row_scale, col_scale, out_dtype=jnp.bfloat16):
+    """int8 GEMM with fused dequant. Dispatches to the Pallas MXU kernel on TPU,
+    XLA fallback elsewhere. Equivalent of torch.ops.torchao.int8_mm_dequant
+    (subclasses/int8_mm.py:121-149)."""
+    from llama_x_tpu.ops import int8_mm as _pallas
+
+    if _pallas.pallas_int8_available():
+        return _pallas.int8_mm_dequant_pallas(a_i8, b_i8, row_scale, col_scale, out_dtype)
+    return _int8_mm_dequant_xla(a_i8, b_i8, row_scale, col_scale, out_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def int8_linear(x: jnp.ndarray, int_data: jnp.ndarray, scale: jnp.ndarray, dynamic_int8_act: bool = False):
+    """x [..., in] @ dequant(W).T where W = {int_data [out, in], scale [out]}.
+
+    custom_vjp reproduces _Int8Linear (subclasses/int8.py:106-130): no weight grad,
+    grad_input = (g * scale) @ int_data.
+    """
+    return _int8_linear_fwd_impl(x, int_data, scale, dynamic_int8_act)
+
+
+def _int8_linear_fwd_impl(x, int_data, scale, dynamic_int8_act):
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    x2 = x.reshape(-1, k)
+    if dynamic_int8_act:
+        x_i8, x_scale = quantize_int8_rowwise(x2)
+        out = int8_mm_dequant(x_i8, int_data.T, x_scale, scale, out_dtype=x.dtype)
+    else:
+        out = (x2 @ int_data.T.astype(x.dtype)) * scale.astype(x.dtype)
+    return out.reshape(*lead, int_data.shape[0])
+
+
+def _int8_linear_fwd(x, int_data, scale, dynamic_int8_act):
+    out = _int8_linear_fwd_impl(x, int_data, scale, dynamic_int8_act)
+    # zero-size sentinel carries x.dtype through the residuals (dtypes aren't JAX types)
+    return out, (int_data, scale, jnp.zeros((0,), x.dtype))
+
+
+def _int8_linear_bwd(dynamic_int8_act, res, g):
+    int_data, scale, x_proto = res
+    # grad_input = (g * w_scale) @ W_i8   (subclasses/int8.py:127)
+    gx = (g * scale.astype(g.dtype)) @ int_data.astype(g.dtype)
+    return gx.astype(x_proto.dtype), None, None
+
+
+int8_linear.defvjp(_int8_linear_fwd, _int8_linear_bwd)

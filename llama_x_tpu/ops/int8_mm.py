@@ -1,0 +1,93 @@
+"""Pallas TPU int8 x int8 GEMM with fused rowwise/colwise dequant epilogue.
+
+TPU-native counterpart of the reference's only hand-written kernel, the Triton
+``_int8_mm_dequant_kernel`` (subclasses/int8_mm.py:52-118): int8 inputs, int32 MXU
+accumulation, epilogue multiplies by row_scale[M] x col_scale[N] and casts to the output
+dtype. The grouped-M swizzle / L2 tricks of the Triton kernel don't transfer — on TPU the
+grid is pipelined through VMEM by the Mosaic compiler; we tile (M, N, K) with K innermost
+and accumulate in an fp32-free int32 VMEM scratch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def pallas_int8_available() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _kernel(a_ref, b_ref, rs_ref, cs_ref, out_ref, acc_ref):
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _zero():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        a_ref[:],
+        b_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(k_idx == pl.num_programs(2) - 1)
+    def _epilogue():
+        # rs_ref: [bm, 1], cs_ref: [1, bn]
+        scaled = acc_ref[:].astype(jnp.float32) * rs_ref[:].astype(jnp.float32) * cs_ref[:].astype(jnp.float32)
+        out_ref[:] = scaled.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "block_m", "block_n", "block_k"))
+def int8_mm_dequant_pallas(
+    a_i8: jnp.ndarray,
+    b_i8: jnp.ndarray,
+    row_scale: jnp.ndarray,
+    col_scale: jnp.ndarray,
+    out_dtype=jnp.bfloat16,
+    block_m: int = 256,
+    block_n: int = 256,
+    block_k: int = 512,
+):
+    """a_i8 [M, K] @ b_i8 [K, N] -> [M, N] out_dtype, dequantized by row/col scales.
+
+    Shapes must be multiples of the int8 tile (32, 128); the callers (quantized linears)
+    guarantee this for all Llama projection shapes. Falls back to XLA otherwise.
+    """
+    M, K = a_i8.shape
+    K2, N = b_i8.shape
+    assert K == K2, (a_i8.shape, b_i8.shape)
+
+    bm, bn, bk = min(block_m, M), min(block_n, N), min(block_k, K)
+    if M % bm or N % bn or K % bk or bm % 32 or bn % 128 or bk % 128:
+        from llama_x_tpu.ops.int8 import _int8_mm_dequant_xla
+
+        return _int8_mm_dequant_xla(a_i8, b_i8, row_scale, col_scale, out_dtype)
+
+    grid = (M // bm, N // bn, K // bk)
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0)),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K + K * N + M * N * 2,
+            transcendentals=0,
+        ),
+    )(a_i8, b_i8, row_scale.reshape(M, 1), col_scale.reshape(1, N))

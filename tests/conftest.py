@@ -1,0 +1,23 @@
+"""Test harness: run everything on CPU with 8 virtual devices so mesh/sharding tests work
+without TPU hardware (SURVEY.md §4 'Distributed without a cluster')."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# fp32 math must actually be fp32 for parity tests (JAX's default matmul precision may
+# use bf16 passes); the production TPU path sets precision per-op where it matters.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
