@@ -1,0 +1,116 @@
+"""Tokenizer registry (≡ llama_tokenizers.py).
+
+- llama2: SentencePiece model from meta-llama/Llama-2-7b-chat-hf, bos=1 eos=2 pad=0
+  (llama_tokenizers.py:14-27). Gated: sentencepiece isn't installed in this image, so
+  construction raises a clear error unless a local model path is provided AND
+  sentencepiece is importable.
+- llama3: tiktoken BPE from Meta-Llama-3.1-8B-Instruct original/tokenizer.model with the
+  Llama-3 split regex, bos=128000 eos=128001 pad=128004 (llama_tokenizers.py:31-61).
+  Gated on the model file being reachable (hub download needs network).
+- byte: offline byte-level tokenizer for tests/CI — 256 byte ids + bos/eos/pad specials.
+
+All expose __call__(text, add_bos=False, add_eos=False) -> list[int] and decode().
+"""
+
+from __future__ import annotations
+
+
+def get_tokenizer(name: str, model_path: str | None = None):
+    try:
+        factory = {
+            "llama2": Llama2Tokenizer,
+            "llama3": Llama3Tokenizer,
+            "byte": ByteTokenizer,
+        }[name]
+    except KeyError:
+        raise KeyError(f"unknown tokenizer {name!r}; choose from llama2/llama3/byte") from None
+    return factory(model_path) if name != "byte" else factory()
+
+
+class ByteTokenizer:
+    """UTF-8 bytes as ids 0..255; specials above. Deterministic + offline."""
+
+    bos_id = 256
+    eos_id = 257
+    pad_id = 258
+    vocab_size = 259
+
+    def __call__(self, text: str, add_bos: bool = False, add_eos: bool = False) -> list[int]:
+        tokens = list(text.encode("utf-8"))
+        if add_bos:
+            tokens.insert(0, self.bos_id)
+        if add_eos:
+            tokens.append(self.eos_id)
+        return tokens
+
+    def decode(self, tokens: list[int]) -> str:
+        return bytes(t for t in tokens if t < 256).decode("utf-8", errors="replace")
+
+
+class Llama2Tokenizer:
+    bos_id = 1
+    eos_id = 2
+    pad_id = 0
+
+    def __init__(self, model_path: str | None = None):
+        try:
+            import sentencepiece as spm
+        except ImportError as e:
+            raise RuntimeError(
+                "llama2 tokenizer needs the sentencepiece package (not in this image); "
+                "use tokenizer='llama3' or 'byte'"
+            ) from e
+        if model_path is None:
+            from huggingface_hub import hf_hub_download
+
+            model_path = hf_hub_download("meta-llama/Llama-2-7b-chat-hf", "tokenizer.model")
+        self.sp = spm.SentencePieceProcessor(model_path)
+
+    def __call__(self, text: str, add_bos: bool = False, add_eos: bool = False) -> list[int]:
+        return self.sp.Encode(text, add_bos=add_bos, add_eos=add_eos)
+
+    def decode(self, tokens: list[int]) -> str:
+        return self.sp.Decode(tokens)
+
+
+# the Llama-3 pretokenizer split pattern (public, from the Llama 3 release)
+_LLAMA3_PAT = (
+    r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}{1,3}"
+    r"| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+"
+)
+
+
+class Llama3Tokenizer:
+    bos_id = 128_000
+    eos_id = 128_001
+    pad_id = 128_004  # <|finetune_right_pad_id|>
+
+    def __init__(self, model_path: str | None = None):
+        import tiktoken
+        from tiktoken.load import load_tiktoken_bpe
+
+        if model_path is None:
+            from huggingface_hub import hf_hub_download
+
+            model_path = hf_hub_download("meta-llama/Meta-Llama-3.1-8B-Instruct", "original/tokenizer.model")
+        self.enc = tiktoken.Encoding(
+            "llama3",
+            pat_str=_LLAMA3_PAT,
+            mergeable_ranks=load_tiktoken_bpe(model_path),
+            special_tokens={
+                "<|begin_of_text|>": self.bos_id,
+                "<|end_of_text|>": self.eos_id,
+                "<|finetune_right_pad_id|>": self.pad_id,
+            },
+        )
+
+    def __call__(self, text: str, add_bos: bool = False, add_eos: bool = False) -> list[int]:
+        tokens = self.enc.encode(text, disallowed_special=())
+        if add_bos:
+            tokens.insert(0, self.bos_id)
+        if add_eos:
+            tokens.append(self.eos_id)
+        return tokens
+
+    def decode(self, tokens: list[int]) -> str:
+        return self.enc.decode(tokens)

@@ -43,6 +43,11 @@ def _int8_mm_dequant_xla(a_i8, b_i8, row_scale, col_scale, out_dtype):
 
     a_i8 [M, K], b_i8 [K, N], row_scale [M], col_scale [N] -> [M, N] out_dtype.
     """
+    # accept [M]/[M,1] and [N]/[1,N] — a 2-D scale would otherwise silently broadcast
+    # the output to [M, M, N]
+    row_scale = row_scale.reshape(-1)
+    col_scale = col_scale.reshape(-1)
+    assert row_scale.shape == (a_i8.shape[0],) and col_scale.shape == (b_i8.shape[1],)
     acc = jax.lax.dot_general(
         a_i8,
         b_i8,

@@ -1,0 +1,140 @@
+"""Shared trainer plumbing for the CLI entry points (train_metamathqa.py,
+train_librispeech.py): model construction + freeze/quantize/adapt composition
+(≡ train_metamathqa.py:172-186), mesh/sharding setup, step-batch assembly, and the
+common argparse flags (≡ train_metamathqa.py:131-163, train_librispeech.py:128-159)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+from datetime import datetime
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llama_x_tpu.adapters import apply_linear_adapter, quantize_linear, trainable_mask
+from llama_x_tpu.parallel import batch_sharding, make_mesh, shard_params
+from llama_x_tpu.train.optim import get_optimizer, trapezoid_schedule
+from llama_x_tpu.utils.tree import trainable_param_count
+
+
+def add_common_args(parser: argparse.ArgumentParser):
+    parser.add_argument("--model", default="TinyLlama/TinyLlama_v1.1")
+    parser.add_argument("--tokenizer", default="llama2")
+    parser.add_argument("--tokenizer_path", help="local tokenizer.model (offline)")
+    parser.add_argument("--adapter", choices=["lora", "dora"])
+    parser.add_argument("--adapter_kwargs", type=json.loads, default=dict())
+    parser.add_argument("--quantize", choices=["int8"])
+    parser.add_argument("--quantize_kwargs", type=json.loads, default=dict())
+    parser.add_argument("--freeze_prefixes", nargs="+", default=[])
+    parser.add_argument("--activation_checkpointing", action="store_true")
+
+    parser.add_argument("--batch_size", type=int, default=1)
+    parser.add_argument("--n_steps", type=int, default=1000)
+    parser.add_argument("--gradient_accumulation", type=int, default=1)
+
+    parser.add_argument("--optim", default="AdamW", choices=["AdamW", "AdamW8bit", "AdamW4bit"])
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--weight_decay", type=float, default=0.0)
+    parser.add_argument("--warmup", type=float, default=0.0)
+    parser.add_argument("--decay", type=float, default=0.0)
+    parser.add_argument("--clip_grad_norm", type=float)
+
+    parser.add_argument("--ckpt_interval", type=int, default=1000)
+    parser.add_argument("--log_interval", type=int, default=50)
+    parser.add_argument("--project")
+    parser.add_argument("--run_name")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--profile", action="store_true")
+    parser.add_argument("--resume")
+
+    # --- TPU-native knobs (no reference counterpart) ---
+    parser.add_argument("--mesh", type=json.loads, default=dict(), help='e.g. {"dp":4,"fsdp":2,"tp":2}')
+    parser.add_argument("--attn_impl", default="auto", choices=["auto", "xla", "flash"])
+    parser.add_argument("--fused_ce_chunks", type=int, default=0)
+    parser.add_argument(
+        "--synthetic", type=int, default=0,
+        help="train on N synthetic samples with the byte tokenizer + a tiny random model (offline smoke)",
+    )
+
+
+def make_save_dir(task: str, run_name: str | None) -> Path:
+    name = f"{run_name or 'run'}_{datetime.now().strftime('%Y%m%d_%H%M%S')}"
+    d = Path("runs") / task / name
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def build_model_params(args, model_cls, **extra_config):
+    """from_hf (or tiny synthetic init) → freeze → quantize → adapt
+    (composition order ≡ train_metamathqa.py:172-186)."""
+    from llama_x_tpu.models import llama as llama_mod
+
+    config_overrides = dict(
+        activation_checkpointing=args.activation_checkpointing,
+        attn_impl=args.attn_impl,
+        fused_ce_chunks=args.fused_ce_chunks,
+        **extra_config,
+    )
+
+    if args.synthetic:
+        config = llama_mod.tiny_config(
+            embed_dim=256, num_layers=4, head_dim=32, num_heads=8, num_kv_heads=4,
+            intermediate_dim=512, vocab_size=512, max_seq_len=extra_config.get("max_seq_len", 2048),
+        ).replace(**{k: v for k, v in config_overrides.items() if k != "max_seq_len"})
+        model = model_cls.init(jax.random.PRNGKey(args.seed), config, dtype=jnp.bfloat16)
+    else:
+        model = model_cls.from_hf(args.model, dtype=jnp.bfloat16, **config_overrides)
+
+    params, config = model.params, model.config
+
+    if args.quantize:
+        dynamic = bool(args.quantize_kwargs.get("dynamic_int8_act", False))
+        params = dict(params, layers=quantize_linear(params["layers"], args.quantize))
+        config = config.replace(dynamic_int8_act=dynamic)
+    if args.adapter:
+        params = dict(
+            params,
+            layers=apply_linear_adapter(
+                params["layers"], args.adapter, jax.random.PRNGKey(args.seed + 1), **args.adapter_kwargs
+            ),
+        )
+
+    mask = trainable_mask(params, tuple(args.freeze_prefixes))
+    n_train, n_frozen = trainable_param_count(params, mask)
+    print(f"No. of trainable params: {n_train:,}")
+    print(f"No. of non-trainable params: {n_frozen:,}")
+    return model, params, config, mask
+
+
+def setup_mesh_and_optimizer(args, params):
+    mesh = make_mesh(**args.mesh) if args.mesh else make_mesh(dp=len(jax.devices()))
+    params = shard_params(params, mesh)
+    schedule = trapezoid_schedule(args.lr, args.n_steps, args.warmup, args.decay)
+    tx = get_optimizer(args.optim, schedule, args.weight_decay, args.clip_grad_norm)
+    return mesh, params, tx
+
+
+def assemble_step_batch(micro_batches: list[dict], mesh=None, pad_values: dict | None = None) -> dict:
+    """Stack accumulation microbatches into [accum, mb, ...], padding ragged sequence
+    lengths up to the step max (bucketed padding mode yields a few distinct lengths)."""
+    pad_values = pad_values or {}
+    keys = micro_batches[0].keys()
+    out = {}
+    for k in keys:
+        arrs = [mb[k] for mb in micro_batches]
+        max_len = max(a.shape[-1] for a in arrs)
+        pv = pad_values.get(k, 0)
+        arrs = [
+            np.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, max_len - a.shape[-1])], constant_values=pv)
+            if a.shape[-1] != max_len
+            else a
+            for a in arrs
+        ]
+        stacked = np.stack(arrs)
+        if mesh is not None:
+            stacked = jax.device_put(stacked, batch_sharding(mesh))
+        out[k] = stacked
+    return out

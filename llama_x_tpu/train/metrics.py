@@ -1,0 +1,106 @@
+"""Observability: run logger (JSONL + stdout + optional wandb), throughput meters,
+device memory stats, profiler hook.
+
+≡ the reference's wandb logging of loss/grad_norm/lr/max_memory/toks_per_second every 50
+steps (train_metamathqa.py:237-251) and its --profile torch.profiler trace
+(train_metamathqa.py:210-214) — here the trace is jax.profiler (XProf/TensorBoard).
+wandb isn't installed in this image, so the JSONL file is the primary sink and wandb is
+best-effort.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+
+class RunLogger:
+    def __init__(self, save_dir: str | Path, config: dict | None = None, project: str | None = None, run_name: str | None = None):
+        self.save_dir = Path(save_dir)
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        self.f = open(self.save_dir / "metrics.jsonl", "a")
+        self.wandb = None
+        if project is not None:
+            try:
+                import wandb
+
+                self.wandb = wandb.init(project=project, name=run_name, config=config, dir="/tmp")
+            except Exception:
+                self.wandb = None
+        if config is not None:
+            (self.save_dir / "config.json").write_text(json.dumps(config, indent=2, default=str))
+
+    def log(self, metrics: dict, step: int):
+        rec = {"step": step, **{k: float(v) if hasattr(v, "__float__") else v for k, v in metrics.items()}}
+        self.f.write(json.dumps(rec) + "\n")
+        self.f.flush()
+        if self.wandb is not None:
+            self.wandb.log(metrics, step=step)
+
+    def finish(self):
+        self.f.close()
+        if self.wandb is not None:
+            self.wandb.finish()
+
+
+class Throughput:
+    """toks/s + audio-seconds/s meter (≡ train_metamathqa.py:245-249,
+    train_librispeech.py:234-237)."""
+
+    def __init__(self):
+        self.n_tokens = 0
+        self.audio_secs = 0.0
+        self.t0 = time.perf_counter()
+
+    def update(self, n_tokens: int, audio_secs: float = 0.0):
+        self.n_tokens += int(n_tokens)
+        self.audio_secs += audio_secs
+
+    def rates(self) -> dict:
+        t1 = time.perf_counter()
+        dt = max(t1 - self.t0, 1e-9)
+        out = {"toks_per_second": self.n_tokens / dt}
+        if self.audio_secs:
+            out["audio_secs_per_second"] = self.audio_secs / dt
+        self.n_tokens, self.audio_secs, self.t0 = 0, 0.0, t1
+        return out
+
+
+def device_memory_stats() -> dict:
+    """bytes in use / peak on device 0 (≡ cuda max_memory_*, train_metamathqa.py:242-243)."""
+    import jax
+
+    stats = jax.local_devices()[0].memory_stats() or {}
+    return {
+        "memory_in_use_gb": stats.get("bytes_in_use", 0) / 1e9,
+        "peak_memory_gb": stats.get("peak_bytes_in_use", 0) / 1e9,
+    }
+
+
+class Profiler:
+    """jax.profiler trace for N steps after a warmup (≡ torch.profiler schedule
+    wait=1 warmup=4 active=2, train_metamathqa.py:210-214)."""
+
+    def __init__(self, log_dir: str, start_step: int = 5, num_steps: int = 2):
+        self.log_dir = str(log_dir)
+        self.start_step = start_step
+        self.stop_step = start_step + num_steps
+        self._active = False
+
+    def step(self, step: int):
+        import jax
+
+        if step == self.start_step and not self._active:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        elif step >= self.stop_step and self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+
+    def close(self):
+        if self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+            self._active = False

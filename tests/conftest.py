@@ -3,7 +3,9 @@ without TPU hardware (SURVEY.md §4 'Distributed without a cluster')."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU regardless of the ambient environment — the shell exports JAX_PLATFORMS=axon
+# (the TPU tunnel), and concurrent test processes must never contend for the one chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

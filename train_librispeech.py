@@ -1,0 +1,165 @@
+"""LibriSpeech ASR fine-tuning trainer (≡ reference train_librispeech.py CLI): packed
+audio windows → early-fusion LlamaAudio → jitted data-parallel step on a TPU mesh.
+
+Download LibriSpeech from https://www.openslr.org/12 (flac decoding needs soundfile;
+.wav works out of the box).
+
+Examples:
+  # offline smoke (synthetic sine-wave 'utterances', byte tokenizer, tiny model):
+  python train_librispeech.py --synthetic 64 --n_steps 10 --audio_duration 4
+
+  # real run:
+  python train_librispeech.py --dataset_dir LibriSpeech/train-clean-100 \
+      --model meta-llama/Meta-Llama-3.1-8B --tokenizer llama3 --adapter lora --prefix_lm
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import threading
+import queue as queue_mod
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llama_x_tpu.data.librispeech import LibriSpeechPacked
+from llama_x_tpu.data.tokenizers import get_tokenizer
+from llama_x_tpu.models import audio as audio_mod
+from llama_x_tpu.models.audio import AudioConfig, LlamaAudio
+from llama_x_tpu.train.checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+from llama_x_tpu.train.cli import (
+    add_common_args,
+    assemble_step_batch,
+    build_model_params,
+    make_save_dir,
+    setup_mesh_and_optimizer,
+)
+from llama_x_tpu.train.metrics import Profiler, RunLogger, Throughput, device_memory_stats
+from llama_x_tpu.train.trainer import init_train_state, make_train_step
+
+
+def synthetic_audio_batches(rng, audio_config, micro_bs, audio_duration, seq_len_multiple, vocab):
+    """Synthetic packed windows for offline smoke runs."""
+    T = int(audio_duration * audio_config.sample_rate)
+    L = seq_len_multiple
+    while True:
+        audio = rng.standard_normal((micro_bs, T)).astype(np.float32) * 0.1
+        tokens = rng.integers(1, vocab, (micro_bs, L)).astype(np.int32)
+        labels = np.roll(tokens, -1, axis=-1).astype(np.int32)
+        labels[:, -1] = -100
+        yield {"audio": audio, "tokens": tokens, "labels": labels}
+
+
+def prefetch(it, depth: int = 2):
+    """Background-thread prefetcher (replaces the reference's DataLoader worker
+    processes, train_librispeech.py:192): audio decode + packing overlap the step."""
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=depth)
+
+    def worker():
+        for item in it:
+            q.put(item)
+        q.put(None)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        yield item
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    add_common_args(parser)
+    parser.add_argument("--dataset_dir")
+    parser.add_argument("--audio_duration", type=float, default=40.0)
+    parser.add_argument("--seq_len_multiple", type=int, default=128)
+    parser.add_argument("--n_workers", type=int, default=4)  # accepted for CLI parity; prefetch is threaded
+    parser.add_argument("--prefix_lm", action="store_true", help="bidirectional attention over the audio prefix")
+    args = parser.parse_args()
+
+    assert args.batch_size % args.gradient_accumulation == 0
+    assert args.synthetic or args.dataset_dir, "--dataset_dir required (or --synthetic)"
+
+    audio_config = AudioConfig()
+    # 40 s ⇒ 2000 audio tokens + ≤2096 text tokens ⇒ max_seq_len 4096
+    # (≡ train_librispeech.py:166-170)
+    model, params, config, mask = build_model_params(args, LlamaAudio, max_seq_len=4096)
+    mesh, params, tx = setup_mesh_and_optimizer(args, params)
+
+    micro_bs = args.batch_size // args.gradient_accumulation
+    if args.synthetic:
+        rng = np.random.default_rng(args.seed)
+        data_iter = synthetic_audio_batches(
+            rng, audio_config, micro_bs, args.audio_duration, args.seq_len_multiple, config.vocab_size
+        )
+    else:
+        tokenizer = get_tokenizer(args.tokenizer, args.tokenizer_path)
+        ds = LibriSpeechPacked(
+            args.dataset_dir,
+            tokenizer,
+            audio_duration=args.audio_duration,
+            seq_len_multiple=args.seq_len_multiple,
+            batch_size=micro_bs,
+            sample_rate=audio_config.sample_rate,
+            seed=args.seed,
+            num_shards=jax.process_count(),
+            shard_index=jax.process_index(),
+        )
+        data_iter = prefetch(iter(ds), depth=4)
+
+    def loss_fn(p, mb):
+        loss = audio_mod.forward(
+            p, config, audio_config, mb["audio"], mb["tokens"], labels=mb["labels"], prefix_lm=args.prefix_lm
+        )
+        return loss, jnp.sum(mb["labels"] != -100)
+
+    state = init_train_state(params, mask, tx)
+    train_step = jax.jit(make_train_step(loss_fn, tx), donate_argnums=(0,))
+
+    step = 0
+    if args.resume:
+        path = latest_checkpoint(args.resume) or args.resume
+        state = restore_checkpoint(path, state)
+        step = int(state["step"])
+        print(f"resumed from {path} at step {step}")
+
+    save_dir = make_save_dir("librispeech", args.run_name)
+    logger = RunLogger(save_dir, config=vars(args), project=args.project, run_name=args.run_name)
+    meter = Throughput()
+    profiler = Profiler(str(save_dir / "profile")) if args.profile else None
+
+    while step < args.n_steps:
+        micro = [next(data_iter) for _ in range(args.gradient_accumulation)]
+        batch = assemble_step_batch(micro, mesh, pad_values={"labels": -100})
+        state, metrics = train_step(state, batch)
+        meter.update(int(metrics["n_tokens"]), audio_secs=args.audio_duration * args.batch_size)
+
+        if step % args.log_interval == 0:
+            log = {
+                "loss": float(metrics["loss"]),
+                "grad_norm": float(metrics["grad_norm"]),
+                **device_memory_stats(),
+            }
+            if step > 0:
+                log.update(meter.rates())
+            logger.log(log, step)
+            print(f"step {step}: loss {log['loss']:.4f}")
+
+        step += 1
+        if args.ckpt_interval > 0 and step % args.ckpt_interval == 0:
+            save_checkpoint(save_dir, state, step)
+        if profiler is not None:
+            profiler.step(step)
+
+    if profiler is not None:
+        profiler.close()
+    save_checkpoint(save_dir, state, step)
+    logger.finish()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Text-only SFT trainer on MetaMathQA (≡ reference train_metamathqa.py CLI, rebuilt
+around a single jitted data-parallel train step on a TPU mesh).
+
+Examples:
+  # offline smoke (tiny random model, synthetic data, byte tokenizer):
+  python train_metamathqa.py --synthetic 512 --n_steps 20 --batch_size 8 --document_mask
+
+  # real run:
+  python train_metamathqa.py --model TinyLlama/TinyLlama_v1.1 --tokenizer llama2 \
+      --adapter lora --quantize int8 --document_mask --n_steps 1000
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llama_x_tpu.data.metamathqa import get_metamathqa
+from llama_x_tpu.models import llama
+from llama_x_tpu.train.checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+from llama_x_tpu.train.cli import (
+    add_common_args,
+    assemble_step_batch,
+    build_model_params,
+    make_save_dir,
+    setup_mesh_and_optimizer,
+)
+from llama_x_tpu.train.metrics import Profiler, RunLogger, Throughput, device_memory_stats
+from llama_x_tpu.train.trainer import init_train_state, make_train_step
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    add_common_args(parser)
+    parser.add_argument("--document_mask", action="store_true")
+    parser.add_argument("--max_seq_len", type=int, default=1024)
+    parser.add_argument("--seq_len_multiple", type=int, default=256)
+    args = parser.parse_args()
+
+    assert args.batch_size % args.gradient_accumulation == 0
+    if args.profile:
+        args.n_steps = min(args.n_steps, 10)
+
+    model, params, config, mask = build_model_params(
+        args, llama.Llama, max_seq_len=args.max_seq_len
+    )
+    mesh, params, tx = setup_mesh_and_optimizer(args, params)
+
+    micro_bs = args.batch_size // args.gradient_accumulation
+    if args.synthetic:
+        rng = np.random.default_rng(args.seed)
+        tokens_list = [
+            rng.integers(1, config.vocab_size, rng.integers(16, args.max_seq_len // 2)).astype(np.int32)
+            for _ in range(args.synthetic)
+        ]
+        data_iter, train_size = get_metamathqa(
+            "byte", args.document_mask, micro_bs, args.max_seq_len, args.seq_len_multiple,
+            tokens_list=tokens_list, seed=args.seed,
+        )
+    else:
+        data_iter, train_size = get_metamathqa(
+            args.tokenizer, args.document_mask, micro_bs, args.max_seq_len, args.seq_len_multiple,
+            seed=args.seed, num_shards=jax.process_count(), shard_index=jax.process_index(),
+        )
+    print(f"Training dataset size: {train_size:,}")
+
+    def loss_fn(p, mb):
+        loss = llama.forward(
+            p, config, mb["inputs"], segment_ids=mb.get("segment_ids"), labels=mb["labels"]
+        )
+        return loss, jnp.sum(mb["labels"] != -100)
+
+    state = init_train_state(params, mask, tx)
+    train_step = jax.jit(make_train_step(loss_fn, tx), donate_argnums=(0,))
+
+    step = 0
+    if args.resume:
+        path = latest_checkpoint(args.resume) or args.resume
+        state = restore_checkpoint(path, state)
+        step = int(state["step"])
+        print(f"resumed from {path} at step {step}")
+
+    save_dir = make_save_dir("metamathqa", args.run_name)
+    logger = RunLogger(save_dir, config=vars(args), project=args.project, run_name=args.run_name)
+    meter = Throughput()
+    profiler = Profiler(str(save_dir / "profile")) if args.profile else None
+
+    while step < args.n_steps:
+        micro = [next(data_iter) for _ in range(args.gradient_accumulation)]
+        batch = assemble_step_batch(micro, mesh, pad_values={"labels": -100})
+        state, metrics = train_step(state, batch)
+
+        if step % args.log_interval == 0:
+            log = {
+                "loss": float(metrics["loss"]),
+                "grad_norm": float(metrics["grad_norm"]),
+                **device_memory_stats(),
+            }
+            meter.update(int(metrics["n_tokens"]))
+            if step > 0:
+                log.update(meter.rates())
+            logger.log(log, step)
+            print(f"step {step}: loss {log['loss']:.4f}")
+        else:
+            meter.update(int(metrics["n_tokens"]))
+
+        step += 1
+        if args.ckpt_interval > 0 and step % args.ckpt_interval == 0:
+            save_checkpoint(save_dir, state, step)
+        if profiler is not None:
+            profiler.step(step)
+
+    if profiler is not None:
+        profiler.close()
+    save_checkpoint(save_dir, state, step)
+    logger.finish()
+
+
+if __name__ == "__main__":
+    main()
