@@ -90,17 +90,19 @@ def main():
         "labels": jnp.asarray(rng.integers(1, config.vocab_size, (1, 1, text_len)).astype(np.int32)),
     }
 
-    # warmup/compile
+    # warmup/compile. NOTE: jax.block_until_ready does not actually sync on the
+    # tunneled TPU backend — force a device->host transfer (float()) instead; each
+    # iteration consumes the previous state so the final transfer fences the chain.
     t0 = time.perf_counter()
     state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     compile_s = time.perf_counter() - t0
 
     n_iters = 10
     t0 = time.perf_counter()
     for _ in range(n_iters):
         state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     dt = (time.perf_counter() - t0) / n_iters
 
     tokens_per_step = config.max_seq_len  # audio + text tokens through the trunk

@@ -1,0 +1,106 @@
+"""Static-shape autoregressive decoding (prefill + jitted scan).
+
+The reference ships a KV cache (modelling/llama.py:76-90) and a decode attention path
+(llama.py:126-137) but NO sampling loop — SURVEY.md §3 flags this as a fresh TPU design:
+everything here is shape-static so the whole generation is ONE compiled program:
+
+- prefill: run the prompt through the trunk once, scattering K/V into the full-length
+  cache (≡ the reference decode contract: scatter at input_pos, attend over the cache
+  with a kv_len bound).
+- decode: ``lax.scan`` over ``max_new_tokens`` single-token steps; each step embeds the
+  previous token, attends over the cache, samples the next token. No Python loop, no
+  per-step dispatch, no dynamic shapes.
+- sampling: greedy (temperature 0) or temperature + top-k via Gumbel-max on the filtered
+  logits (jax-idiomatic categorical sampling with an explicit PRNG key).
+- eos handling: a ``done`` mask freezes finished rows to ``pad_id`` (the scan is fixed
+  length; early exit would make the shape dynamic).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from llama_x_tpu.models import llama
+
+
+def sample_logits(key: jax.Array, logits: jnp.ndarray, temperature: float, top_k: int) -> jnp.ndarray:
+    """logits [B, V] → token ids [B]. temperature==0 → argmax (key unused)."""
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits.astype(jnp.float32) / temperature
+    if top_k > 0:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    gumbel = jax.random.gumbel(key, logits.shape, jnp.float32)
+    return jnp.argmax(logits + gumbel, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "max_new_tokens", "temperature", "top_k", "eos_id", "pad_id", "cache_dtype"),
+)
+def generate(
+    params: dict[str, Any],
+    config: llama.LlamaConfig,
+    prompt: jnp.ndarray,
+    *,
+    max_new_tokens: int,
+    key: jax.Array | None = None,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    eos_id: int = -1,
+    pad_id: int = 0,
+    cache_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """prompt [B, P] int32 (all rows full-length) → generated tokens [B, max_new_tokens].
+
+    P + max_new_tokens must fit in config.max_seq_len. Rows that emit ``eos_id`` are
+    padded with ``pad_id`` afterwards.
+    """
+    B, P = prompt.shape
+    assert P + max_new_tokens <= config.max_seq_len, (P, max_new_tokens, config.max_seq_len)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    kv_cache = llama.init_kv_cache(config, B, dtype=cache_dtype)
+
+    # ---- prefill: one pass over the whole prompt ----
+    logits, kv_cache = llama.forward(
+        params,
+        config,
+        prompt,
+        kv_cache=kv_cache,
+        input_pos=jnp.arange(P, dtype=jnp.int32),
+        kv_len=jnp.full((B,), P, jnp.int32),
+    )
+    first = sample_logits(key, logits[:, -1], temperature, top_k)
+
+    # ---- decode: fixed-length scan of single-token steps ----
+    def step(carry, step_key):
+        kv_cache, tok, pos, done = carry
+        logits, kv_cache = llama.forward(
+            params,
+            config,
+            tok[:, None],
+            kv_cache=kv_cache,
+            input_pos=pos[None],
+            kv_len=pos[None] + 1,
+        )
+        nxt = sample_logits(step_key, logits[:, 0], temperature, top_k)
+        nxt = jnp.where(done, pad_id, nxt)
+        done = done | (nxt == eos_id)
+        return (kv_cache, nxt, pos + 1, done), nxt
+
+    done0 = first == eos_id
+    keys = jax.random.split(key, max_new_tokens)
+    init = (kv_cache, first, jnp.asarray(P, jnp.int32), done0)
+    if max_new_tokens > 1:
+        _, rest = jax.lax.scan(step, init, keys[:-1])
+        out = jnp.concatenate([first[:, None], rest.T], axis=1)
+    else:
+        out = first[:, None]
+    return out

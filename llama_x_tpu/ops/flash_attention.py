@@ -1,20 +1,450 @@
 """Pallas TPU flash attention with static mask metadata (causal / document / prefix-LM).
 
 TPU-native replacement for the reference's FlexAttention + SDPA paths
-(modelling/llama.py:129-137): one kernel whose ``MaskInfo`` metadata subsumes causal
-training, packed-document masking (train_metamathqa.py:67-68) and prefix-LM
-bidirectional-prefix masking (the README's plan). GQA is expressed by head grouping, not
-repeat_interleave.
+(modelling/llama.py:129-137): ONE kernel whose ``MaskInfo`` metadata subsumes causal
+training, packed-document segment masking (train_metamathqa.py:67-68) and prefix-LM
+bidirectional-prefix masking (the README's stated plan). GQA is expressed by head-group
+indexing in the BlockSpecs (kv block index = q_head // group), never by repeating K/V
+(the reference repeat_interleaves, modelling/llama.py:130-131).
 
-NOTE: placeholder dispatch for now — delegates to the fused XLA reference path while the
-Pallas kernel lands later in this round. The call signature is final.
+Design (standard TPU flash attention, tuned for the MXU):
+- forward: grid (B, Hq, nq, nk), kv innermost ("arbitrary"); online softmax with fp32
+  m/l/acc scratch in VMEM; QK^T and PV ride the MXU with fp32 accumulation; causal (and
+  prefix-aware) whole-block skip guards the compute of blocks above the diagonal.
+- backward: custom_vjp storing (q, k, v, lse); delta = rowsum(dO*O) in XLA; one kernel
+  for dq (grid over q blocks, scanning kv) and one for dk/dv (grid over kv blocks,
+  scanning q). dk/dv are produced per *query* head [B, Hq, Skv, D] in fp32 and the GQA
+  group sum happens in XLA (cheap, fuses into the cast).
+- row vectors (lse, delta) and segment ids are carried with a trailing singleton dim
+  ([B, H, S, 1] / [B, S, 1] / [B, 1, S]) so every block shape satisfies the Mosaic
+  (sublane % 8, lane % 128 | == array-dim) constraint.
+- masked logits use -1e30 (not -inf) so fully-masked rows stay finite; such rows do not
+  occur on the training paths (causal self-attention always attends to self; pad tokens
+  share segment id 0 with each other).
+
+Fallback: any shape/metadata the kernel doesn't cover (decode slices with q_positions,
+non-128-multiple sequence lengths, head_dim not multiple of 64, non-TPU backend) routes
+to the fused XLA reference in ops/attention.py — same math, same MaskInfo.
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from llama_x_tpu.ops.attention import MaskInfo, dot_product_attention
+
+_NEG_INF = -1e30
+_LANES = 128
+
+# test hook: run kernels in the Pallas interpreter (CPU) instead of requiring a TPU
+INTERPRET = False
+
+
+def _block_mask(s, q_start, kv_start, bq, bk, *, causal, qseg, kseg, prefix):
+    """Apply MaskInfo semantics to a [bq, bk] logit tile (must mirror
+    ops/attention.py:make_attention_mask exactly: (causal & same_seg) | in_prefix).
+
+    qseg: [bq, 1] int32 | None;  kseg: [1, bk] int32 | None;  prefix: scalar | None.
+    """
+    q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+    kv_pos = kv_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    mask = None
+    if causal:
+        mask = q_pos >= kv_pos
+    if qseg is not None:
+        same = qseg == kseg
+        mask = same if mask is None else (mask & same)
+    if prefix is not None:
+        in_prefix = (q_pos < prefix) & (kv_pos < prefix)
+        mask = in_prefix if mask is None else (mask | in_prefix)
+    return s if mask is None else jnp.where(mask, s, _NEG_INF)
+
+
+def _needed(q_start, kv_start, bq, bk, *, causal, prefix):
+    """Whole-block compute guard: False only when every element is provably masked."""
+    if not causal:
+        return None
+    cond = q_start + bq - 1 >= kv_start
+    if prefix is not None:
+        cond = cond | ((q_start < prefix) & (kv_start < prefix))
+    return cond
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(*refs, scale, causal, has_seg, has_prefix, bq, bk):
+    it = iter(refs)
+    q_ref, k_ref, v_ref = next(it), next(it), next(it)
+    qseg_ref = next(it) if has_seg else None
+    kseg_ref = next(it) if has_seg else None
+    prefix_ref = next(it) if has_prefix else None
+    out_ref, lse_ref = next(it), next(it)
+    acc_ref, m_ref, l_ref = next(it), next(it), next(it)
+
+    j = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    i = pl.program_id(2)
+    q_start = i * bq
+    kv_start = j * bk
+    prefix = prefix_ref[pl.program_id(0), 0] if has_prefix else None
+
+    def compute():
+        q = q_ref[0, 0]  # [bq, D]
+        k = k_ref[0, 0]  # [bk, D]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s *= scale
+        s = _block_mask(
+            s,
+            q_start,
+            kv_start,
+            bq,
+            bk,
+            causal=causal,
+            qseg=qseg_ref[0] if has_seg else None,  # [bq, 1]
+            kseg=kseg_ref[0] if has_seg else None,  # [1, bk]
+            prefix=prefix,
+        )
+        m_prev = m_ref[:, :1]  # [bq, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype),
+            v_ref[0, 0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = acc_ref[:] * alpha + pv
+
+    guard = _needed(q_start, kv_start, bq, bk, causal=causal, prefix=prefix)
+    if guard is None:
+        compute()
+    else:
+        pl.when(guard)(compute)
+
+    @pl.when(j == nk - 1)
+    def _epilogue():
+        l = l_ref[:, :1]
+        out_ref[0, 0] = (acc_ref[:] / jnp.where(l == 0.0, 1.0, l)).astype(out_ref.dtype)
+        lse_ref[0, 0] = m_ref[:, :1] + jnp.log(jnp.maximum(l, 1e-30))  # [bq, 1]
+
+
+def _fwd(q, k, v, qseg, kseg, prefix, *, scale, causal, bq, bk):
+    """q [B,Hq,Sq,D]; k,v [B,Hkv,Skv,D]; qseg [B,Sq,1]; kseg [B,1,Skv]; prefix [B,1].
+
+    Returns out [B,Hq,Sq,D], lse [B,Hq,Sq,1] fp32.
+    """
+    B, Hq, Sq, D = q.shape
+    _, Hkv, Skv, _ = k.shape
+    group = Hq // Hkv
+    nq, nk = Sq // bq, Skv // bk
+    has_seg, has_prefix = qseg is not None, prefix is not None
+
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j, g=group: (b, h // g, j, 0)),
+        pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j, g=group: (b, h // g, j, 0)),
+    ]
+    operands = [q, k, v]
+    if has_seg:
+        in_specs += [
+            pl.BlockSpec((1, bq, 1), lambda b, h, i, j: (b, i, 0)),
+            pl.BlockSpec((1, 1, bk), lambda b, h, i, j: (b, 0, j)),
+        ]
+        operands += [qseg, kseg]
+    if has_prefix:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # whole [B, 1] array
+        operands.append(prefix)
+
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, causal=causal, has_seg=has_seg, has_prefix=has_prefix, bq=bq, bk=bk
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(B, Hq, nq, nk),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, j: (b, h, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hq, Sq, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hq, Sq, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, D), jnp.float32),
+            pltpu.VMEM((bq, _LANES), jnp.float32),
+            pltpu.VMEM((bq, _LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(4 * B * Hq * Sq * Skv * D * (0.5 if causal else 1.0)),
+            bytes_accessed=2 * (B * Hq * Sq * D + 2 * B * Hkv * Skv * D),
+            transcendentals=B * Hq * Sq * Skv,
+        ),
+        interpret=INTERPRET,
+    )(*operands)
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(*refs, scale, causal, has_seg, has_prefix, bq, bk):
+    it = iter(refs)
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (next(it) for _ in range(6))
+    qseg_ref = next(it) if has_seg else None
+    kseg_ref = next(it) if has_seg else None
+    prefix_ref = next(it) if has_prefix else None
+    dq_ref = next(it)
+    dq_acc = next(it)
+
+    j = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    i = pl.program_id(2)
+    q_start, kv_start = i * bq, j * bk
+    prefix = prefix_ref[pl.program_id(0), 0] if has_prefix else None
+
+    def compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
+        s = _block_mask(
+            s, q_start, kv_start, bq, bk, causal=causal,
+            qseg=qseg_ref[0] if has_seg else None,
+            kseg=kseg_ref[0] if has_seg else None,
+            prefix=prefix,
+        )
+        p = jnp.exp(s - lse_ref[0, 0])  # lse [bq, 1]
+        do = do_ref[0, 0]
+        dp = jax.lax.dot_general(do, v_ref[0, 0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_ref[0, 0]) * scale  # delta [bq, 1]
+        dq_acc[:] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    guard = _needed(q_start, kv_start, bq, bk, causal=causal, prefix=prefix)
+    if guard is None:
+        compute()
+    else:
+        pl.when(guard)(compute)
+
+    @pl.when(j == nk - 1)
+    def _write():
+        dq_ref[0, 0] = dq_acc[:]
+
+
+def _bwd_dkv_kernel(*refs, scale, causal, has_seg, has_prefix, bq, bk):
+    it = iter(refs)
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (next(it) for _ in range(6))
+    qseg_ref = next(it) if has_seg else None
+    kseg_ref = next(it) if has_seg else None
+    prefix_ref = next(it) if has_prefix else None
+    dk_ref, dv_ref = next(it), next(it)
+    dk_acc, dv_acc = next(it), next(it)
+
+    i = pl.program_id(3)  # q block — innermost on this kernel
+    nq = pl.num_programs(3)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    j = pl.program_id(2)
+    q_start, kv_start = i * bq, j * bk
+    prefix = prefix_ref[pl.program_id(0), 0] if has_prefix else None
+
+    def compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
+        s = _block_mask(
+            s, q_start, kv_start, bq, bk, causal=causal,
+            qseg=qseg_ref[0] if has_seg else None,
+            kseg=kseg_ref[0] if has_seg else None,
+            prefix=prefix,
+        )
+        p = jnp.exp(s - lse_ref[0, 0])  # [bq, bk]
+        do = do_ref[0, 0]  # [bq, D]
+        dv_acc[:] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(do, v_ref[0, 0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_ref[0, 0]) * scale  # [bq, bk]
+        dk_acc[:] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    guard = _needed(q_start, kv_start, bq, bk, causal=causal, prefix=prefix)
+    if guard is None:
+        compute()
+    else:
+        pl.when(guard)(compute)
+
+    @pl.when(i == nq - 1)
+    def _write():
+        dk_ref[0, 0] = dk_acc[:]
+        dv_ref[0, 0] = dv_acc[:]
+
+
+def _bwd(q, k, v, qseg, kseg, prefix, out, lse, do, *, scale, causal, bq, bk):
+    B, Hq, Sq, D = q.shape
+    _, Hkv, Skv, _ = k.shape
+    group = Hq // Hkv
+    nq, nk = Sq // bq, Skv // bk
+    has_seg, has_prefix = qseg is not None, prefix is not None
+
+    # delta = rowsum(dO * O), carried with trailing singleton: [B, Hq, Sq, 1]
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True)
+
+    def qkv_specs(order):
+        if order == "dq":  # grid (b, h, i, j)
+            qmap = lambda b, h, i, j: (b, h, i, 0)
+            kmap = lambda b, h, i, j, g=group: (b, h // g, j, 0)
+            rowmap = lambda b, h, i, j: (b, h, i, 0)
+            qsmap = lambda b, h, i, j: (b, i, 0)
+            ksmap = lambda b, h, i, j: (b, 0, j)
+        else:  # "dkv": grid (b, h, j, i)
+            qmap = lambda b, h, j, i: (b, h, i, 0)
+            kmap = lambda b, h, j, i, g=group: (b, h // g, j, 0)
+            rowmap = lambda b, h, j, i: (b, h, i, 0)
+            qsmap = lambda b, h, j, i: (b, i, 0)
+            ksmap = lambda b, h, j, i: (b, 0, j)
+        specs = [
+            pl.BlockSpec((1, 1, bq, D), qmap),
+            pl.BlockSpec((1, 1, bk, D), kmap),
+            pl.BlockSpec((1, 1, bk, D), kmap),
+            pl.BlockSpec((1, 1, bq, D), qmap),  # do
+            pl.BlockSpec((1, 1, bq, 1), rowmap),  # lse
+            pl.BlockSpec((1, 1, bq, 1), rowmap),  # delta
+        ]
+        if has_seg:
+            specs += [pl.BlockSpec((1, bq, 1), qsmap), pl.BlockSpec((1, 1, bk), ksmap)]
+        if has_prefix:
+            specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # whole [B, 1] array
+        return specs
+
+    operands = [q, k, v, do, lse, delta]
+    if has_seg:
+        operands += [qseg, kseg]
+    if has_prefix:
+        operands.append(prefix)
+
+    static = dict(scale=scale, causal=causal, has_seg=has_seg, has_prefix=has_prefix, bq=bq, bk=bk)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, **static),
+        grid=(B, Hq, nq, nk),
+        in_specs=qkv_specs("dq"),
+        out_specs=pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, Sq, D), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(6 * B * Hq * Sq * Skv * D * (0.5 if causal else 1.0)),
+            bytes_accessed=4 * B * Hq * Sq * D + 2 * B * Hkv * Skv * D,
+            transcendentals=B * Hq * Sq * Skv,
+        ),
+        interpret=INTERPRET,
+    )(*operands)
+
+    dk_per_head, dv_per_head = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, **static),
+        grid=(B, Hq, nk, nq),
+        in_specs=qkv_specs("dkv"),
+        out_specs=[
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, j, i: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, j, i: (b, h, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hq, Skv, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hq, Skv, D), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((bk, D), jnp.float32), pltpu.VMEM((bk, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(8 * B * Hq * Sq * Skv * D * (0.5 if causal else 1.0)),
+            bytes_accessed=4 * B * Hq * Sq * D + 4 * B * Hkv * Skv * D,
+            transcendentals=B * Hq * Sq * Skv,
+        ),
+        interpret=INTERPRET,
+    )(*operands)
+
+    # GQA group-sum in XLA (fuses with the dtype cast)
+    dk = dk_per_head.reshape(B, Hkv, group, Skv, D).sum(axis=2).astype(k.dtype)
+    dv = dv_per_head.reshape(B, Hkv, group, Skv, D).sum(axis=2).astype(v.dtype)
+    return dq.astype(q.dtype), dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp plumbing (one cached instance per static config)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _make_flash(scale: float, causal: bool, has_seg: bool, has_prefix: bool, bq: int, bk: int):
+    def _norm(args):
+        q, k, v, qseg, kseg, prefix = args
+        return (q, k, v, qseg if has_seg else None, kseg if has_seg else None, prefix if has_prefix else None)
+
+    @jax.custom_vjp
+    def f(q, k, v, qseg, kseg, prefix):
+        out, _ = _fwd(*_norm((q, k, v, qseg, kseg, prefix)), scale=scale, causal=causal, bq=bq, bk=bk)
+        return out
+
+    def f_fwd(q, k, v, qseg, kseg, prefix):
+        out, lse = _fwd(*_norm((q, k, v, qseg, kseg, prefix)), scale=scale, causal=causal, bq=bq, bk=bk)
+        return out, (q, k, v, qseg, kseg, prefix, out, lse)
+
+    def f_bwd(res, do):
+        q, k, v, qseg, kseg, prefix, out, lse = res
+        dq, dk, dv = _bwd(
+            *_norm((q, k, v, qseg, kseg, prefix)), out, lse, do, scale=scale, causal=causal, bq=bq, bk=bk
+        )
+        return dq, dk, dv, None, None, None
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def _pick_block(s: int, target: int) -> int | None:
+    for b in (target, 512, 256, 128):
+        if b <= s and s % b == 0:
+            return b
+    return None
 
 
 def flash_attention(
@@ -23,5 +453,48 @@ def flash_attention(
     v: jnp.ndarray,
     mask_info: MaskInfo | None = None,
     scale: float | None = None,
+    block_q: int = 512,
+    block_kv: int = 512,
 ) -> jnp.ndarray:
-    return dot_product_attention(q, k, v, mask_info, scale)
+    """Flash attention over [B, S, H, D] layout (the model's layout).
+
+    Falls back to the XLA reference path whenever the kernel's static assumptions don't
+    hold (decode slices with explicit positions, unaligned shapes, non-TPU backend).
+    """
+    mi = mask_info or MaskInfo(causal=False)
+    B, Sq, Hq, D = q.shape
+    _, Skv, Hkv, _ = k.shape
+    bq = _pick_block(Sq, block_q)
+    bk = _pick_block(Skv, block_kv)
+    unsupported = (
+        (jax.default_backend() != "tpu" and not INTERPRET)
+        or mi.q_positions is not None
+        or mi.kv_positions is not None
+        or mi.kv_len is not None
+        or bq is None
+        or bk is None
+        or D % 64 != 0
+        or Hq % Hkv != 0
+    )
+    if unsupported:
+        return dot_product_attention(q, k, v, mask_info, scale)
+
+    if scale is None:
+        scale = 1.0 / (D**0.5)
+
+    qt = q.transpose(0, 2, 1, 3)  # [B, Hq, Sq, D]
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+
+    has_seg = mi.segment_ids is not None
+    kv_seg = mi.kv_segment_ids if mi.kv_segment_ids is not None else mi.segment_ids
+    has_prefix = mi.prefix_len is not None
+
+    # dummies keep the custom_vjp arity fixed; ignored when the static flag is off
+    qseg = mi.segment_ids.astype(jnp.int32).reshape(B, Sq, 1) if has_seg else jnp.zeros((B, 1, 1), jnp.int32)
+    kseg = kv_seg.astype(jnp.int32).reshape(B, 1, Skv) if has_seg else jnp.zeros((B, 1, 1), jnp.int32)
+    prefix = mi.prefix_len.astype(jnp.int32).reshape(B, 1) if has_prefix else jnp.zeros((B, 1), jnp.int32)
+
+    f = _make_flash(float(scale), bool(mi.causal), has_seg, has_prefix, bq, bk)
+    out = f(qt, kt, vt, qseg, kseg, prefix)
+    return out.transpose(0, 2, 1, 3)

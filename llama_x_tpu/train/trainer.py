@@ -26,10 +26,15 @@ TrainState = dict[str, Any]  # {"trainable", "frozen", "opt_state", "step"}
 
 def init_train_state(params, mask, tx: optax.GradientTransformation) -> TrainState:
     trainable, frozen = partition(params, mask)
+    # Optimizer state is created from FP32-cast params so its dtypes match the fp32
+    # grads fed to tx.update every step. This keeps the state pytree dtype-stable
+    # across steps, which is what lets XLA alias the donated state buffers — a dtype
+    # flip after step 1 (bf16 init state vs f32 updated state) silently defeats
+    # donation and blew the step time up ~50x on v5e (measured).
     return {
         "trainable": trainable,
         "frozen": frozen,
-        "opt_state": tx.init(trainable),
+        "opt_state": tx.init(jax.tree.map(lambda p: p.astype(jnp.float32), trainable)),
         "step": jnp.zeros((), jnp.int32),
     }
 
@@ -55,26 +60,40 @@ def make_train_step(
         frozen = state["frozen"]
         accum = jax.tree.leaves(batch)[0].shape[0]
 
-        def micro(carry, mb):
-            loss_sum, ntok_sum, grad_acc = carry
-
+        def micro_grads(mb):
             def lfn(t):
                 return loss_fn(merge(t, frozen), mb)
 
-            (loss, ntok), grads = jax.value_and_grad(lfn, has_aux=True)(state["trainable"])
-            grad_acc = jax.tree.map(jnp.add, grad_acc, grads)
-            return (loss_sum + loss, ntok_sum + ntok, grad_acc), None
+            return jax.value_and_grad(lfn, has_aux=True)(state["trainable"])
 
-        zero_grads = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), state["trainable"])
-        (loss_sum, ntok, grads), _ = jax.lax.scan(
-            micro, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32), zero_grads), batch
-        )
-        grads = jax.tree.map(lambda g: (g / accum).astype(jnp.float32), grads)
+        if accum == 1:
+            # No accumulation → no scan. A scan with a full-size fp32 grad carry defeats
+            # XLA's ability to fuse the grad accumulate into the backward (measured 25x
+            # slower on v5e for a 1B model); the direct path compiles to the plain
+            # fused fwd+bwd.
+            (loss_sum, ntok), grads = micro_grads(jax.tree.map(lambda x: x[0], batch))
+        else:
+
+            def micro(carry, mb):
+                loss_sum, ntok_sum, grad_acc = carry
+                (loss, ntok), grads = micro_grads(mb)
+                grad_acc = jax.tree.map(jnp.add, grad_acc, grads)
+                return (loss_sum + loss, ntok_sum + ntok, grad_acc), None
+
+            zero_grads = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), state["trainable"])
+            (loss_sum, ntok, grads), _ = jax.lax.scan(
+                micro, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32), zero_grads), batch
+            )
+        grads = jax.tree.map(lambda g: (g.astype(jnp.float32) / accum), grads)
         grad_norm = optax.global_norm(grads)
 
-        updates, opt_state = tx.update(grads, state["opt_state"], state["trainable"])
-        trainable = optax.apply_updates(state["trainable"], updates)
-        trainable = jax.tree.map(lambda new, old: new.astype(old.dtype), trainable, state["trainable"])
+        # fp32 optimizer math over bf16 master weights; cast the params view to f32 so
+        # every update-chain dtype matches the f32 opt state (see init_train_state).
+        params_f32 = jax.tree.map(lambda p: p.astype(jnp.float32), state["trainable"])
+        updates, opt_state = tx.update(grads, state["opt_state"], params_f32)
+        trainable = jax.tree.map(
+            lambda p, pf, u: (pf + u).astype(p.dtype), state["trainable"], params_f32, updates
+        )
 
         new_state = {
             "trainable": trainable,

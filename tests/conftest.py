@@ -12,6 +12,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The ambient sitecustomize (PYTHONPATH=/root/.axon_site) imports jax at interpreter
+# startup, freezing JAX_PLATFORMS before this file runs — env vars alone are too late.
+# The config update works post-import as long as no backend has been created yet.
+jax.config.update("jax_platforms", "cpu")
+
 # fp32 math must actually be fp32 for parity tests (JAX's default matmul precision may
 # use bf16 passes); the production TPU path sets precision per-op where it matters.
 jax.config.update("jax_default_matmul_precision", "highest")

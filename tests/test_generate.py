@@ -1,0 +1,57 @@
+"""Decode-path tests: prefill+scan generation must match the full-forward oracle
+(SURVEY.md §3 'Inference path' — the reference has the cache but no sampler; parity here
+is greedy-continuation equivalence between the cached decode and re-running the full
+causal forward each step)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llama_x_tpu.models import llama
+from llama_x_tpu.models.generate import generate, sample_logits
+
+
+def _greedy_oracle(params, config, prompt, n):
+    """Re-run the full causal forward per step (no cache) and take argmax."""
+    toks = prompt
+    out = []
+    for _ in range(n):
+        logits = llama.forward(params, config, toks)
+        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        out.append(nxt)
+        toks = jnp.concatenate([toks, nxt[:, None]], axis=1)
+    return jnp.stack(out, axis=1)
+
+
+def test_greedy_generate_matches_full_forward():
+    config = llama.tiny_config(max_seq_len=64)
+    params = llama.init(jax.random.PRNGKey(0), config, dtype=jnp.float32)
+    prompt = jnp.asarray(np.random.default_rng(0).integers(0, config.vocab_size, (2, 8)), jnp.int32)
+
+    got = generate(params, config, prompt, max_new_tokens=6, temperature=0.0, cache_dtype=jnp.float32)
+    want = _greedy_oracle(params, config, prompt, 6)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_generate_eos_padding():
+    config = llama.tiny_config(max_seq_len=64)
+    params = llama.init(jax.random.PRNGKey(0), config, dtype=jnp.float32)
+    prompt = jnp.asarray(np.random.default_rng(1).integers(0, config.vocab_size, (1, 4)), jnp.int32)
+    # force eos on the very first sampled token: eos_id = whatever greedy produces
+    first = int(generate(params, config, prompt, max_new_tokens=1, cache_dtype=jnp.float32)[0, 0])
+    out = generate(params, config, prompt, max_new_tokens=5, eos_id=first, pad_id=0, cache_dtype=jnp.float32)
+    assert int(out[0, 0]) == first
+    np.testing.assert_array_equal(np.asarray(out[0, 1:]), 0)
+
+
+def test_sample_logits_temperature_topk():
+    key = jax.random.PRNGKey(0)
+    logits = jnp.asarray([[0.0, 5.0, 1.0, -2.0]])
+    assert int(sample_logits(key, logits, 0.0, 0)[0]) == 1
+    # top_k=1 must always pick the argmax regardless of temperature
+    for i in range(5):
+        tok = sample_logits(jax.random.PRNGKey(i), logits, 1.5, 1)
+        assert int(tok[0]) == 1
+    # high temperature, full vocab: samples vary across keys
+    toks = {int(sample_logits(jax.random.PRNGKey(i), logits, 10.0, 0)[0]) for i in range(32)}
+    assert len(toks) > 1
