@@ -168,7 +168,16 @@ def attention(
     use_flash = config.attn_impl == "flash" or (
         config.attn_impl == "auto" and cache is None and jax.default_backend() == "tpu"
     )
-    if use_flash:
+    if config.attn_impl == "ring" and cache is None:
+        # context parallelism: sequence sharded over the ambient mesh's "cp" axis,
+        # KV blocks rotate the ring (ops/ring_attention.py)
+        from llama_x_tpu.parallel.context import context_parallel_attention
+        from llama_x_tpu.parallel.mesh import current_mesh
+
+        mesh = current_mesh()
+        assert mesh is not None, "attn_impl='ring' needs parallel.use_mesh(mesh) around the step"
+        out = context_parallel_attention(q, k, v, mesh, mask_info)
+    elif use_flash:
         from llama_x_tpu.ops.flash_attention import flash_attention
 
         out = flash_attention(q, k, v, mask_info)

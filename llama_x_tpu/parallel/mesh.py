@@ -19,33 +19,61 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-AXES = ("dp", "fsdp", "tp")
+AXES = ("dp", "fsdp", "cp", "tp")
 
 
 def make_mesh(
     dp: int | None = None,
     fsdp: int | None = None,
+    cp: int = 1,
     tp: int = 1,
     devices=None,
 ) -> Mesh:
-    """Build a (dp, fsdp, tp) mesh over the available devices.
+    """Build a (dp, fsdp, cp, tp) mesh over the available devices.
 
-    Unspecified axes are inferred: tp defaults to 1, fsdp absorbs the remaining devices
-    unless dp is given explicitly. Axis order puts tp innermost (fastest-varying →
-    adjacent devices → highest-bandwidth ICI neighbors carry the most chatty
-    collective), then fsdp, then dp outermost (its collective is one grad reduce per
-    step, the least latency-sensitive).
+    Unspecified axes are inferred: tp/cp default to 1, fsdp absorbs the remaining
+    devices unless dp is given explicitly. Axis order puts tp innermost
+    (fastest-varying → adjacent devices → highest-bandwidth ICI neighbors carry the most
+    chatty collective), then cp (ring attention's KV rotation rides neighbor links),
+    then fsdp, then dp outermost (its collective is one grad reduce per step, the least
+    latency-sensitive).
     """
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
     if dp is None and fsdp is None:
-        dp, fsdp = 1, n // tp
+        dp, fsdp = 1, n // (cp * tp)
     elif dp is None:
-        dp = n // (fsdp * tp)
+        dp = n // (fsdp * cp * tp)
     elif fsdp is None:
-        fsdp = n // (dp * tp)
-    assert dp * fsdp * tp == n, f"mesh {dp}x{fsdp}x{tp} != {n} devices"
-    return Mesh(devices.reshape(dp, fsdp, tp), AXES)
+        fsdp = n // (dp * cp * tp)
+    assert dp * fsdp * cp * tp == n, f"mesh {dp}x{fsdp}x{cp}x{tp} != {n} devices"
+    return Mesh(devices.reshape(dp, fsdp, cp, tp), AXES)
+
+
+# ---------------------------------------------------------------------------
+# ambient mesh (lets deep model code reach the mesh without threading it through
+# every call — only shard_map-based paths like ring attention need it)
+# ---------------------------------------------------------------------------
+
+_MESH_STACK: list[Mesh] = []
+
+
+class use_mesh:
+    """Context manager installing ``mesh`` as the ambient mesh for model code."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+
+    def __enter__(self):
+        _MESH_STACK.append(self.mesh)
+        return self.mesh
+
+    def __exit__(self, *exc):
+        _MESH_STACK.pop()
+
+
+def current_mesh() -> Mesh | None:
+    return _MESH_STACK[-1] if _MESH_STACK else None
 
 
 def init_distributed(coordinator_address: str | None = None, num_processes: int | None = None, process_id: int | None = None):
