@@ -114,35 +114,24 @@ def forward(
     input_pos=None,
     kv_len=None,
 ):
-    """≡ LlamaAudio.forward (modelling/audio.py:38-77). Returns loss/logits (+cache)."""
-    embed_dtype = params["tok_embeddings"]["weight"].dtype
-    x = jnp.take(params["tok_embeddings"]["weight"], tokens, axis=0)
+    """≡ LlamaAudio.forward (modelling/audio.py:38-77). Returns loss/logits (+cache).
 
-    n_audio = 0
+    Fusion mechanics (prepend → shared rope → strip → text-only loss) live in
+    models/fusion.py, shared with the image and omni variants.
+    """
+    from llama_x_tpu.models import fusion
+
+    embed_dtype = params["tok_embeddings"]["weight"].dtype
+    prefix = []
     if audio is not None:
         embed_fn = lambda aa: audio_embed(params["audio_embed"], audio_config, aa, dtype=embed_dtype)  # noqa: E731
         if config.activation_checkpointing:
             embed_fn = jax.checkpoint(embed_fn)
-        a = embed_fn(audio)
-        n_audio = a.shape[1]
-        x = jnp.concatenate([a, x], axis=1)  # early fusion: audio prefix (audio.py:63)
-
-    if kv_cache is not None:
-        q_pos = input_pos[None, :] if input_pos is not None else None
-        mask_info = MaskInfo(causal=True, q_positions=q_pos, kv_len=kv_len)
-    elif prefix_lm and n_audio > 0:
-        mask_info = MaskInfo(causal=True, prefix_len=jnp.full((x.shape[0],), n_audio, jnp.int32))
-    else:
-        mask_info = MaskInfo(causal=True)
-
-    x, new_cache = llama.trunk(params, config, x, mask_info, kv_cache, input_pos)
-
-    if n_audio > 0:
-        x = x[:, n_audio:]  # strip audio positions before the head (audio.py:72-73)
-    out = llama.head(params, config, x, labels)
-    if kv_cache is not None:
-        return out, new_cache
-    return out
+        prefix.append(embed_fn(audio))
+    return fusion.fuse_forward(
+        params, config, prefix, tokens,
+        labels=labels, prefix_lm=prefix_lm, kv_cache=kv_cache, input_pos=input_pos, kv_len=kv_len,
+    )
 
 
 class LlamaAudio:
