@@ -47,13 +47,16 @@ def _flce_forward(hidden, kernel, labels, num_chunks):
     assert n % num_chunks == 0, f"rows {n} not divisible by num_chunks {num_chunks}"
     valid = labels != IGNORE_INDEX
     safe_labels = jnp.where(valid, labels, 0)
-    kf = kernel.astype(jnp.float32)
 
     def body(i, sum_loss):
-        h = _chunk(hidden, i, num_chunks).astype(jnp.float32)
+        h = _chunk(hidden, i, num_chunks)
         lbl = _chunk(safe_labels, i, num_chunks)
         vld = _chunk(valid, i, num_chunks)
-        logits = h @ kf
+        # matmul in the input dtype (bf16 rides the MXU at full rate), fp32 accumulate;
+        # the softmax/logsumexp math stays fp32 (≡ the reference's fp32 CE, llama.py:218)
+        logits = jax.lax.dot_general(
+            h, kernel, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
         logz = jax.nn.logsumexp(logits, axis=-1)
         gold = jnp.take_along_axis(logits, lbl[:, None], axis=-1)[:, 0]
         return sum_loss + jnp.sum(jnp.where(vld, logz - gold, 0.0))
@@ -83,21 +86,27 @@ def _flce_bwd(num_chunks, res, g):
     hidden, kernel, labels, n_valid = res
     valid = labels != IGNORE_INDEX
     safe_labels = jnp.where(valid, labels, 0)
-    kf = kernel.astype(jnp.float32)
     size = hidden.shape[0] // num_chunks
     vocab = kernel.shape[1]
 
     def body(i, acc):
         dh, dk = acc
-        h = _chunk(hidden, i, num_chunks).astype(jnp.float32)
+        h = _chunk(hidden, i, num_chunks)
         lbl = _chunk(safe_labels, i, num_chunks)
         vld = _chunk(valid, i, num_chunks).astype(jnp.float32)
-        logits = h @ kf
+        logits = jax.lax.dot_general(
+            h, kernel, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
         probs = jax.nn.softmax(logits, axis=-1)
         onehot = jax.nn.one_hot(lbl, vocab, dtype=jnp.float32)
-        dlogits = (probs - onehot) * vld[:, None]  # [size, V]
-        dh = jax.lax.dynamic_update_slice_in_dim(dh, dlogits @ kf.T, i * size, axis=0)
-        dk = dk + h.T @ dlogits
+        dlogits = ((probs - onehot) * vld[:, None]).astype(hidden.dtype)  # [size, V]
+        dh_chunk = jax.lax.dot_general(
+            dlogits, kernel, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dh = jax.lax.dynamic_update_slice_in_dim(dh, dh_chunk, i * size, axis=0)
+        dk = dk + jax.lax.dot_general(
+            h, dlogits, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
         return (dh, dk)
 
     dh0 = jnp.zeros(hidden.shape, jnp.float32)
