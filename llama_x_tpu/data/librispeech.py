@@ -43,12 +43,16 @@ def load_audio(path: str | Path) -> tuple[np.ndarray, int]:
             if w.getnchannels() > 1:
                 x = x.reshape(-1, w.getnchannels()).mean(axis=1)
             return x, sr
+    if path.endswith(".flac"):
+        # native C++ decoder (native/flacdec.cc) — this image has no torchaudio /
+        # libsndfile / ffmpeg, and pure-Python FLAC decode cannot feed a TPU step
+        from llama_x_tpu.data.flac import decode_flac
+
+        return decode_flac(path)
     try:
         import soundfile as sf
     except ImportError as e:
-        raise RuntimeError(
-            f"cannot decode {path}: soundfile not installed (only .wav supported without it)"
-        ) from e
+        raise RuntimeError(f"cannot decode {path}: unknown format and soundfile not installed") from e
     x, sr = sf.read(path, dtype="float32")
     if x.ndim > 1:
         x = x.mean(axis=1)
