@@ -52,7 +52,8 @@ def add_common_args(parser: argparse.ArgumentParser):
 
     # --- TPU-native knobs (no reference counterpart) ---
     parser.add_argument("--mesh", type=json.loads, default=dict(), help='e.g. {"dp":4,"fsdp":2,"tp":2}')
-    parser.add_argument("--attn_impl", default="auto", choices=["auto", "xla", "flash"])
+    parser.add_argument("--attn_impl", default="auto", choices=["auto", "xla", "flash", "ring"])
+    parser.add_argument("--remat_policy", default="full", choices=["full", "dots"])
     parser.add_argument("--fused_ce_chunks", type=int, default=0)
     parser.add_argument(
         "--synthetic", type=int, default=0,
@@ -76,6 +77,7 @@ def build_model_params(args, model_cls, **extra_config):
         activation_checkpointing=args.activation_checkpointing,
         attn_impl=args.attn_impl,
         fused_ce_chunks=args.fused_ce_chunks,
+        remat_policy=args.remat_policy,
         **extra_config,
     )
 
