@@ -91,3 +91,13 @@ def test_audio_token_rate():
     ac = AudioConfig()
     assert ac.num_audio_tokens(40 * SR) == 2000
     assert ac.num_audio_tokens(SR) == 50
+
+
+def test_dft_impl_matches_fft(rng):
+    """The conv-DFT TPU backend must match the rFFT oracle bit-closely."""
+    from llama_x_tpu.ops.audio_frontend import mel_spectrogram
+
+    a = jnp.asarray(rng.standard_normal((2, 8000)).astype(np.float32) * 0.1)
+    o1 = np.asarray(mel_spectrogram(a, impl="fft"))
+    o2 = np.asarray(mel_spectrogram(a, impl="dft"))
+    np.testing.assert_allclose(o2, o1, rtol=1e-3, atol=1e-6)
