@@ -1,0 +1,110 @@
+"""LibriSpeech WER evaluation: greedy decode with the early-fusion audio model and
+score word error rate (BASELINE.md: 'LibriSpeech step time + WER parity' — the
+reference has no eval script at all; this is the framework's ASR eval surface).
+
+usage:
+  python eval_librispeech.py --data_dir LibriSpeech/dev-clean --resume runs/.../ckpt
+  python eval_librispeech.py --synthetic 4        # offline smoke (tiny random model)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llama_x_tpu.data.tokenizers import get_tokenizer
+from llama_x_tpu.models import audio as audio_mod
+from llama_x_tpu.models import llama
+from llama_x_tpu.models.audio import AudioConfig, LlamaAudio
+from llama_x_tpu.models.generate import generate
+from llama_x_tpu.train.wer import wer
+
+
+def transcribe_batch(model: LlamaAudio, audio: jnp.ndarray, tokenizer, max_new_tokens: int, prefix_lm: bool):
+    """audio [B, T_samples] → list[str] greedy transcripts."""
+    embed_dtype = model.params["tok_embeddings"]["weight"].dtype
+    prefix = audio_mod.audio_embed(model.params["audio_embed"], model.audio_config, audio, dtype=embed_dtype)
+    bos = jnp.full((audio.shape[0], 1), tokenizer.bos_id, jnp.int32)
+    out = generate(
+        model.params,
+        model.config,
+        bos,
+        max_new_tokens=max_new_tokens,
+        eos_id=tokenizer.eos_id,
+        pad_id=tokenizer.pad_id,
+        prefix_embeds=prefix,
+        prefix_lm=prefix_lm,
+    )
+    texts = []
+    for row in np.asarray(out):
+        toks = [int(t) for t in row if t not in (tokenizer.pad_id, tokenizer.eos_id)]
+        texts.append(tokenizer.decode(toks).strip())
+    return texts
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data_dir")
+    parser.add_argument("--model", default="TinyLlama/TinyLlama_v1.1")
+    parser.add_argument("--tokenizer", default="llama2")
+    parser.add_argument("--tokenizer_path")
+    parser.add_argument("--resume", help="checkpoint dir to restore params from")
+    parser.add_argument("--max_utts", type=int, default=100)
+    parser.add_argument("--max_new_tokens", type=int, default=128)
+    parser.add_argument("--audio_duration", type=float, default=20.0)
+    parser.add_argument("--prefix_lm", action="store_true")
+    parser.add_argument("--synthetic", type=int, default=0, help="N synthetic utterances (offline smoke)")
+    args = parser.parse_args()
+
+    if args.synthetic:
+        from llama_x_tpu.data.tokenizers import ByteTokenizer
+
+        tokenizer = ByteTokenizer()
+        config = llama.tiny_config(
+            embed_dim=256, num_layers=2, head_dim=32, num_heads=8, num_kv_heads=4,
+            intermediate_dim=512, vocab_size=512, max_seq_len=512,
+        )
+        model = LlamaAudio.init(jax.random.PRNGKey(0), config, AudioConfig(), dtype=jnp.bfloat16)
+        rng = np.random.default_rng(0)
+        refs, hyps = [], []
+        for i in range(args.synthetic):
+            audio = jnp.asarray(rng.standard_normal((1, 16_000)).astype(np.float32) * 0.1)
+            hyp = transcribe_batch(model, audio, tokenizer, args.max_new_tokens, args.prefix_lm)[0]
+            refs.append("synthetic reference text")
+            hyps.append(hyp)
+        print(json.dumps({"wer": wer(refs, hyps), "n_utts": len(refs), "synthetic": True}))
+        return
+
+    tokenizer = get_tokenizer(args.tokenizer, args.tokenizer_path)
+    model = LlamaAudio.from_hf(args.model, max_seq_len=4096)
+    if args.resume:
+        from llama_x_tpu.train.checkpoint import latest_checkpoint, restore_checkpoint
+
+        path = latest_checkpoint(args.resume) or args.resume
+        state = restore_checkpoint(path, {"params": model.params})
+        model.params = state["params"]
+
+    from llama_x_tpu.data.librispeech import index_librispeech, load_audio
+
+    samples = index_librispeech(args.data_dir, tokenizer)[: args.max_utts]
+    refs, hyps = [], []
+    max_samples = int(args.audio_duration * model.audio_config.sample_rate)
+    for audio_path, utt_tokens in samples:
+        wav, sr = load_audio(f"{args.data_dir}/{audio_path}")
+        assert sr == model.audio_config.sample_rate
+        if len(wav) > max_samples:
+            continue
+        buf = np.zeros((1, max_samples), np.float32)
+        buf[0, : len(wav)] = wav
+        hyp = transcribe_batch(model, jnp.asarray(buf), tokenizer, args.max_new_tokens, args.prefix_lm)[0]
+        refs.append(tokenizer.decode([t for t in utt_tokens]).strip())
+        hyps.append(hyp)
+    print(json.dumps({"wer": wer(refs, hyps), "n_utts": len(refs)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -4,9 +4,10 @@ The reference ships a KV cache (modelling/llama.py:76-90) and a decode attention
 (llama.py:126-137) but NO sampling loop — SURVEY.md §3 flags this as a fresh TPU design:
 everything here is shape-static so the whole generation is ONE compiled program:
 
-- prefill: run the prompt through the trunk once, scattering K/V into the full-length
-  cache (≡ the reference decode contract: scatter at input_pos, attend over the cache
-  with a kv_len bound).
+- prefill: run the prompt (optionally preceded by modality prefix embeddings — the
+  early-fusion audio/image tokens) through the trunk once, scattering K/V into the
+  full-length cache; with ``prefix_lm=True`` the modality prefix attends bidirectionally
+  (matching prefix-LM training).
 - decode: ``lax.scan`` over ``max_new_tokens`` single-token steps; each step embeds the
   previous token, attends over the cache, samples the next token. No Python loop, no
   per-step dispatch, no dynamic shapes.
@@ -25,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from llama_x_tpu.models import llama
+from llama_x_tpu.ops.attention import MaskInfo
 
 
 def sample_logits(key: jax.Array, logits: jnp.ndarray, temperature: float, top_k: int) -> jnp.ndarray:
@@ -41,7 +43,9 @@ def sample_logits(key: jax.Array, logits: jnp.ndarray, temperature: float, top_k
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "max_new_tokens", "temperature", "top_k", "eos_id", "pad_id", "cache_dtype"),
+    static_argnames=(
+        "config", "max_new_tokens", "temperature", "top_k", "eos_id", "pad_id", "cache_dtype", "prefix_lm"
+    ),
 )
 def generate(
     params: dict[str, Any],
@@ -55,41 +59,49 @@ def generate(
     eos_id: int = -1,
     pad_id: int = 0,
     cache_dtype=jnp.bfloat16,
+    prefix_embeds: jnp.ndarray | None = None,
+    prefix_lm: bool = False,
 ) -> jnp.ndarray:
     """prompt [B, P] int32 (all rows full-length) → generated tokens [B, max_new_tokens].
 
-    P + max_new_tokens must fit in config.max_seq_len. Rows that emit ``eos_id`` are
-    padded with ``pad_id`` afterwards.
+    prefix_embeds [B, T, D], if given, are early-fusion modality tokens prepended before
+    the prompt (audio/image stems); prefix_lm makes them attend bidirectionally. The
+    total prefill length + max_new_tokens must fit in config.max_seq_len. Rows that emit
+    ``eos_id`` are padded with ``pad_id`` afterwards.
     """
     B, P = prompt.shape
-    assert P + max_new_tokens <= config.max_seq_len, (P, max_new_tokens, config.max_seq_len)
     if key is None:
         key = jax.random.PRNGKey(0)
 
+    x = jnp.take(params["tok_embeddings"]["weight"], prompt, axis=0)
+    n_prefix = 0
+    if prefix_embeds is not None:
+        n_prefix = prefix_embeds.shape[1]
+        x = jnp.concatenate([prefix_embeds.astype(x.dtype), x], axis=1)
+    total_p = n_prefix + P
+    assert total_p + max_new_tokens <= config.max_seq_len, (total_p, max_new_tokens, config.max_seq_len)
+
     kv_cache = llama.init_kv_cache(config, B, dtype=cache_dtype)
 
-    # ---- prefill: one pass over the whole prompt ----
-    logits, kv_cache = llama.forward(
-        params,
-        config,
-        prompt,
-        kv_cache=kv_cache,
-        input_pos=jnp.arange(P, dtype=jnp.int32),
-        kv_len=jnp.full((B,), P, jnp.int32),
+    # ---- prefill: one pass over prefix + prompt ----
+    pos = jnp.arange(total_p, dtype=jnp.int32)
+    mask = MaskInfo(
+        causal=True,
+        q_positions=pos[None, :],
+        kv_len=jnp.full((B,), total_p, jnp.int32),
+        prefix_len=jnp.full((B,), n_prefix, jnp.int32) if (prefix_lm and n_prefix) else None,
     )
-    first = sample_logits(key, logits[:, -1], temperature, top_k)
+    h, kv_cache = llama.trunk(params, config, x, mask, kv_cache, input_pos=pos)
+    logits = llama.head(params, config, h[:, -1:, :])
+    first = sample_logits(key, logits[:, 0], temperature, top_k)
 
     # ---- decode: fixed-length scan of single-token steps ----
     def step(carry, step_key):
         kv_cache, tok, pos, done = carry
-        logits, kv_cache = llama.forward(
-            params,
-            config,
-            tok[:, None],
-            kv_cache=kv_cache,
-            input_pos=pos[None],
-            kv_len=pos[None] + 1,
-        )
+        x = jnp.take(params["tok_embeddings"]["weight"], tok[:, None], axis=0)
+        mask = MaskInfo(causal=True, q_positions=pos[None, None], kv_len=pos[None] + 1)
+        h, kv_cache = llama.trunk(params, config, x, mask, kv_cache, input_pos=pos[None])
+        logits = llama.head(params, config, h)
         nxt = sample_logits(step_key, logits[:, 0], temperature, top_k)
         nxt = jnp.where(done, pad_id, nxt)
         done = done | (nxt == eos_id)
@@ -97,7 +109,7 @@ def generate(
 
     done0 = first == eos_id
     keys = jax.random.split(key, max_new_tokens)
-    init = (kv_cache, first, jnp.asarray(P, jnp.int32), done0)
+    init = (kv_cache, first, jnp.asarray(total_p, jnp.int32), done0)
     if max_new_tokens > 1:
         _, rest = jax.lax.scan(step, init, keys[:-1])
         out = jnp.concatenate([first[:, None], rest.T], axis=1)
