@@ -50,10 +50,13 @@ def int8_mm_dequant_pallas(
     row_scale: jnp.ndarray,
     col_scale: jnp.ndarray,
     out_dtype=jnp.bfloat16,
-    block_m: int = 256,
-    block_n: int = 256,
-    block_k: int = 512,
+    block_m: int = 512,
+    block_n: int = 512,
+    block_k: int = 2048,
 ):
+    # Block defaults tuned on v5e (4096^3 sweep): large K-depth amortizes the int32
+    # accumulator traffic — (512, 512, 2048) hits 64-69 TOPS vs 39 at (256, 256, 512),
+    # beating XLA's unfused dot+dequant (44 TOPS) with the epilogue for free.
     """a_i8 [M, K] @ b_i8 [K, N] -> [M, N] out_dtype, dequantized by row/col scales.
 
     Shapes must be multiples of the int8 tile (32, 128); the callers (quantized linears)
