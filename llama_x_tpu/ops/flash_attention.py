@@ -454,7 +454,7 @@ def flash_attention(
     mask_info: MaskInfo | None = None,
     scale: float | None = None,
     block_q: int = 512,
-    block_kv: int = 512,
+    block_kv: int = 1024,  # tuned on v5e (S=4096 GQA fwd+bwd sweep; ties jax's bundled kernel)
 ) -> jnp.ndarray:
     """Flash attention over [B, S, H, D] layout (the model's layout).
 
