@@ -77,6 +77,7 @@ def _needed(q_start, kv_start, bq, bk, *, causal, prefix):
     return cond
 
 
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
@@ -113,11 +114,7 @@ def _fwd_kernel(*refs, scale, causal, has_seg, has_prefix, bq, bk):
         )
         s *= scale
         s = _block_mask(
-            s,
-            q_start,
-            kv_start,
-            bq,
-            bk,
+            s, q_start, kv_start, bq, bk,
             causal=causal,
             qseg=qseg_ref[0] if has_seg else None,  # [bq, 1]
             kseg=kseg_ref[0] if has_seg else None,  # [1, bk]
