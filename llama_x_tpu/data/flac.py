@@ -55,14 +55,21 @@ def decode_flac(path_or_bytes) -> tuple[np.ndarray, int]:
     if total < 0:
         raise ValueError("malformed FLAC stream")
     if total == 0:
-        # STREAMINFO total_samples may legitimately be 0 (unknown) — size by duration bound
+        # STREAMINFO total_samples may legitimately be 0 (unknown) — start from a
+        # compressed-size-based guess and let the decoder's -2 "buffer too small"
+        # return grow it (compression means decoded samples exceed stored bits/bps)
         total = len(data) * 8 // max(bps.value, 1) + 65536
-    out = np.empty(int(total) * nch.value, np.int32)
-    n = lib.flac_decode(
-        bytes(data), len(data),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), out.size,
-        ctypes.byref(sr), ctypes.byref(nch), ctypes.byref(bps),
-    )
+    while True:
+        out = np.empty(int(total) * nch.value, np.int32)
+        n = lib.flac_decode(
+            bytes(data), len(data),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), out.size,
+            ctypes.byref(sr), ctypes.byref(nch), ctypes.byref(bps),
+        )
+        if n == -2:
+            total = int(total) * 2
+            continue
+        break
     if n < 0:
         raise ValueError("malformed FLAC stream (frame decode)")
     x = out[: int(n) * nch.value].reshape(-1, nch.value).astype(np.float32)

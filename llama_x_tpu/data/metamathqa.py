@@ -43,9 +43,10 @@ def next_multiple(x: int, n: int) -> int:
 
 
 def tokenize_metamathqa(tokenizer, tokenizer_name: str, max_seq_len: int, cache_dir: str = ".") -> list[np.ndarray]:
-    """Tokenize once, cache to an .npz keyed by tokenizer name (reference caches an HF
+    """Tokenize once, cache to an .npz keyed by tokenizer name + max_seq_len (samples
+    are truncated at tokenization time, so the length is part of the key; reference caches an HF
     dataset dir, train_metamathqa.py:100-121; an npz of ragged int32 arrays is lighter)."""
-    cache = Path(cache_dir) / f"metamathqa_{tokenizer_name}.npz"
+    cache = Path(cache_dir) / f"metamathqa_{tokenizer_name}_s{max_seq_len}.npz"
     if cache.exists():
         with np.load(cache, allow_pickle=False) as z:
             flat, offsets = z["flat"], z["offsets"]

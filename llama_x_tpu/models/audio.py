@@ -96,8 +96,10 @@ def audio_embed(
     )
     x = log_mel_cmn(mel, drop_last_frame=True, dtype=dtype)  # [B, n_mels, T]
     x = jnp.swapaxes(x, 1, 2)  # NHC
-    x = jax.nn.gelu(_conv1d_nhc(x, stem_params["conv1"], stride=1))
-    x = jax.nn.gelu(_conv1d_nhc(x, stem_params["conv2"], stride=2))
+    # exact erf GELU (torch nn.GELU default) — the tanh approximation breaks
+    # checkpoint parity with reference-trained stems
+    x = jax.nn.gelu(_conv1d_nhc(x, stem_params["conv1"], stride=1), approximate=False)
+    x = jax.nn.gelu(_conv1d_nhc(x, stem_params["conv2"], stride=2), approximate=False)
     return x  # [B, T//2, D]
 
 

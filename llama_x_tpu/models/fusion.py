@@ -28,6 +28,7 @@ def fuse_forward(
     kv_cache=None,
     input_pos=None,
     kv_len=None,
+    dropout_rng=None,
 ):
     """prefix_embeds: list of [B, T_i, D] modality token embeddings, prepended in order
     before the text tokens [B, S]. Returns loss/logits (+ new cache when one is given).
@@ -45,7 +46,7 @@ def fuse_forward(
     else:
         mask_info = MaskInfo(causal=True)
 
-    x, new_cache = llama.trunk(params, config, x, mask_info, kv_cache, input_pos)
+    x, new_cache = llama.trunk(params, config, x, mask_info, kv_cache, input_pos, dropout_rng=dropout_rng)
 
     if n_prefix > 0:
         x = x[:, n_prefix:]  # strip modality positions before the head (audio.py:72-73)

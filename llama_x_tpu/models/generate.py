@@ -72,6 +72,7 @@ def generate(
     B, P = prompt.shape
     if key is None:
         key = jax.random.PRNGKey(0)
+    key_first, key_rest = jax.random.split(key)  # never reuse a consumed key
 
     x = jnp.take(params["tok_embeddings"]["weight"], prompt, axis=0)
     n_prefix = 0
@@ -83,17 +84,17 @@ def generate(
 
     kv_cache = llama.init_kv_cache(config, B, dtype=cache_dtype)
 
-    # ---- prefill: one pass over prefix + prompt ----
+    # ---- prefill: one pass over prefix + prompt. prefill=True attends over the fresh
+    # k/v (the cache is empty, positions start at 0 — identical result) so attention is
+    # O(P^2) not O(P * max_seq_len) and runs through the flash kernel ----
     pos = jnp.arange(total_p, dtype=jnp.int32)
     mask = MaskInfo(
         causal=True,
-        q_positions=pos[None, :],
-        kv_len=jnp.full((B,), total_p, jnp.int32),
         prefix_len=jnp.full((B,), n_prefix, jnp.int32) if (prefix_lm and n_prefix) else None,
     )
-    h, kv_cache = llama.trunk(params, config, x, mask, kv_cache, input_pos=pos)
+    h, kv_cache = llama.trunk(params, config, x, mask, kv_cache, input_pos=pos, prefill=True)
     logits = llama.head(params, config, h[:, -1:, :])
-    first = sample_logits(key, logits[:, 0], temperature, top_k)
+    first = sample_logits(key_first, logits[:, 0], temperature, top_k)
 
     # ---- decode: fixed-length scan of single-token steps ----
     def step(carry, step_key):
@@ -108,7 +109,7 @@ def generate(
         return (kv_cache, nxt, pos + 1, done), nxt
 
     done0 = first == eos_id
-    keys = jax.random.split(key, max_new_tokens)
+    keys = jax.random.split(key_rest, max_new_tokens)
     init = (kv_cache, first, jnp.asarray(total_p, jnp.int32), done0)
     if max_new_tokens > 1:
         _, rest = jax.lax.scan(step, init, keys[:-1])

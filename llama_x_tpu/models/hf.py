@@ -66,8 +66,19 @@ def load_hf_config(model_id_or_path: str, **overrides) -> LlamaConfig:
     )
     if "rope_theta" in hf:
         config = config.replace(rope_base=float(hf["rope_theta"]))
-    if hf.get("rope_scaling") is not None:
-        config = config.replace(is_llama3_1=hf["rope_scaling"].get("rope_type") == "llama3")
+    rs = hf.get("rope_scaling")
+    if rs is not None and rs.get("rope_type", rs.get("type")) == "llama3":
+        # carry the checkpoint's own rescale parameters — Llama-3.1 uses factor 8,
+        # Llama-3.2 uses factor 32; assuming one for the other corrupts long-context rope
+        config = config.replace(
+            is_llama3_1=True,
+            rope_scale_factor=float(rs.get("factor", 8.0)),
+            rope_low_freq_factor=float(rs.get("low_freq_factor", 1.0)),
+            rope_high_freq_factor=float(rs.get("high_freq_factor", 4.0)),
+            rope_old_context_len=int(rs.get("original_max_position_embeddings", 8192)),
+        )
+    if hf.get("tie_word_embeddings", False):
+        config = config.replace(tied_embeddings=True)
     return config.replace(**overrides)
 
 
@@ -150,8 +161,13 @@ def load_llama(model_id_or_path: str, dtype=jnp.bfloat16, **config_overrides):
         stacked = np.stack([by_idx[i] for i in range(config.num_layers)])
         set_path(params["layers"], path, _to_jnp(stacked, dtype))
 
-    # tied-embedding models (e.g. Llama-3.2 style) ship no lm_head — tie to embeddings
-    if ("output", "kernel") not in top:
+    # tied-embedding models (Llama-3.2 style) ship no lm_head; with
+    # config.tied_embeddings the head reads the embedding matrix directly (one shared
+    # weight, shared gradient) so nothing to materialize. If the config did NOT declare
+    # tying but lm_head is absent, fall back to an explicit transposed copy.
+    if ("output", "kernel") not in top and not config.tied_embeddings:
         params["output"] = {"kernel": params["tok_embeddings"]["weight"].T}
+    if config.tied_embeddings:
+        params.pop("output", None)  # some checkpoints ship a redundant lm_head copy
 
     return params, config

@@ -48,6 +48,15 @@ class LlamaConfig:
     attn_dropout: float = 0.0
     rope_base: float = 50_000.0
     is_llama3_1: bool = False
+    # Llama-3.1-style rope rescale parameters (read from HF rope_scaling; 3.2 uses
+    # factor=32 — silently assuming 8 would corrupt long-context attention)
+    rope_scale_factor: float = 8.0
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_old_context_len: int = 8192
+    # LM head shares the embedding matrix (HF tie_word_embeddings); the params tree
+    # then has no output/kernel leaf and gradients flow to the single shared matrix
+    tied_embeddings: bool = False
     activation_checkpointing: bool = False
     # --- TPU-native knobs (no reference counterpart) ---
     attn_impl: str = "auto"  # "auto" | "xla" | "flash" | "ring"
@@ -121,8 +130,9 @@ def init(key: jax.Array, config: LlamaConfig, dtype=jnp.bfloat16) -> Params:
             },
         },
         "norm": {"scale": jnp.ones((d,), dtype)},
-        "output": _init_linear(next(keys), d, c.vocab_size, dtype),
     }
+    if not c.tied_embeddings:
+        params["output"] = _init_linear(next(keys), d, c.vocab_size, dtype)
     return params
 
 
@@ -139,12 +149,18 @@ def attention(
     mask_info: MaskInfo,
     cache: tuple[jnp.ndarray, jnp.ndarray] | None = None,
     input_pos: jnp.ndarray | None = None,
+    prefill: bool = False,
+    dropout_rng: jax.Array | None = None,
 ):
     """GQA attention (≡ modelling/llama.py:93-140). x: [B, S, D].
 
     When ``cache`` is given, k/v are scattered into the static full-length cache at
     ``input_pos`` and attention runs over the whole cache (decode path,
-    ≡ modelling/llama.py:126-127, KVCache.update llama.py:83-90).
+    ≡ modelling/llama.py:126-127, KVCache.update llama.py:83-90). ``prefill`` also
+    writes the cache but attends over the FRESH k/v — identical result when the cache
+    starts empty at position 0, O(P^2) instead of O(P * max_seq_len), and eligible for
+    the flash kernel. ``dropout_rng`` enables attention dropout (config.attn_dropout,
+    ≡ modelling/llama.py:136 training-only dropout) on the XLA path.
     Returns (out, new_cache).
     """
     c = config
@@ -167,10 +183,13 @@ def attention(
         k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, input_pos[0], 0, 0))
         v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, input_pos[0], 0, 0))
         new_cache = (k_cache, v_cache)
-        k, v = k_cache, v_cache
+        if not prefill:
+            k, v = k_cache, v_cache
 
-    use_flash = config.attn_impl == "flash" or (
-        config.attn_impl == "auto" and cache is None and jax.default_backend() == "tpu"
+    use_dropout = config.attn_dropout > 0.0 and dropout_rng is not None
+    use_flash = not use_dropout and (
+        config.attn_impl == "flash"
+        or (config.attn_impl == "auto" and (cache is None or prefill) and jax.default_backend() == "tpu")
     )
     if config.attn_impl == "ring" and cache is None:
         # context parallelism: sequence sharded over the ambient mesh's "cp" axis,
@@ -186,7 +205,10 @@ def attention(
 
         out = flash_attention(q, k, v, mask_info)
     else:
-        out = dot_product_attention(q, k, v, mask_info)
+        out = dot_product_attention(
+            q, k, v, mask_info,
+            dropout_rate=c.attn_dropout if use_dropout else 0.0, dropout_rng=dropout_rng,
+        )
 
     out = out.reshape(B, S, c.num_heads * c.head_dim)
     return apply_linear(out, p["wo"], dynamic_int8_act=c.dynamic_int8_act), new_cache
@@ -207,10 +229,13 @@ def block(
     mask_info: MaskInfo,
     cache=None,
     input_pos=None,
+    prefill: bool = False,
+    dropout_rng: jax.Array | None = None,
 ):
     """Pre-norm transformer layer (≡ modelling/llama.py:155-174)."""
     attn_out, new_cache = attention(
-        p["attention"], config, rms_norm(x, p["attention_norm"]["scale"], config.norm_eps), rope, mask_info, cache, input_pos
+        p["attention"], config, rms_norm(x, p["attention_norm"]["scale"], config.norm_eps),
+        rope, mask_info, cache, input_pos, prefill=prefill, dropout_rng=dropout_rng,
     )
     x = x + attn_out
     x = x + feed_forward(p["feed_forward"], config, rms_norm(x, p["ffn_norm"]["scale"], config.norm_eps))
@@ -224,21 +249,36 @@ def trunk(
     mask_info: MaskInfo,
     kv_cache: tuple[jnp.ndarray, jnp.ndarray] | None = None,
     input_pos: jnp.ndarray | None = None,
+    prefill: bool = False,
+    dropout_rng: jax.Array | None = None,
 ):
     """Scan the stacked layers. x: [B, S, D] embeddings. Returns (x, new_kv_cache).
 
     kv_cache, if given, is a pair of [num_layers, B, max_seq_len, n_kv, hd] arrays.
     """
-    rope = build_rope(config.max_seq_len, config.head_dim, config.rope_base, config.is_llama3_1)
+    rope = build_rope(
+        config.max_seq_len,
+        config.head_dim,
+        config.rope_base,
+        config.is_llama3_1,
+        scale_factor=config.rope_scale_factor,
+        low_freq_factor=config.rope_low_freq_factor,
+        high_freq_factor=config.rope_high_freq_factor,
+        old_context_len=config.rope_old_context_len,
+    )
     if input_pos is None:
         rope = rope[: x.shape[1]]
 
     layer_params = params["layers"]
+    layer_rngs = (
+        jax.random.split(dropout_rng, config.num_layers) if dropout_rng is not None else None
+    )
 
     if kv_cache is None:
 
-        def body(carry, p):
-            out, _ = block(p, config, carry, rope, mask_info)
+        def body(carry, scanned):
+            p, rng = scanned
+            out, _ = block(p, config, carry, rope, mask_info, dropout_rng=rng)
             return out, None
 
         if config.activation_checkpointing:
@@ -248,27 +288,35 @@ def trunk(
                 else None
             )
             body = jax.checkpoint(body, prevent_cse=False, policy=policy)
-        x, _ = jax.lax.scan(body, x, layer_params)
+        x, _ = jax.lax.scan(body, x, (layer_params, layer_rngs))
         return x, None
 
     def body(carry, scanned):
-        p, ck, cv = scanned
-        out, new_cache = block(p, config, carry, rope, mask_info, cache=(ck, cv), input_pos=input_pos)
+        p, rng, ck, cv = scanned
+        out, new_cache = block(
+            p, config, carry, rope, mask_info, cache=(ck, cv), input_pos=input_pos,
+            prefill=prefill, dropout_rng=rng,
+        )
         return out, new_cache
 
-    x, (new_k, new_v) = jax.lax.scan(body, x, (layer_params, kv_cache[0], kv_cache[1]))
+    x, (new_k, new_v) = jax.lax.scan(body, x, (layer_params, layer_rngs, kv_cache[0], kv_cache[1]))
     return x, (new_k, new_v)
 
 
 def head(params: Params, config: LlamaConfig, x: jnp.ndarray, labels: jnp.ndarray | None = None):
-    """Final norm + LM head; fused loss when labels given (≡ modelling/llama.py:216-219)."""
+    """Final norm + LM head; fused loss when labels given (≡ modelling/llama.py:216-219).
+
+    With tied_embeddings the head kernel IS the embedding matrix transposed — one shared
+    weight, shared gradient (HF tie_word_embeddings semantics)."""
     x = rms_norm(x, params["norm"]["scale"], config.norm_eps)
+    if config.tied_embeddings:
+        kernel = params["tok_embeddings"]["weight"].T  # [D, V] view of the shared matrix
+    else:
+        kernel = params["output"]["kernel"]
     if labels is not None and config.fused_ce_chunks > 0:
         n = x.shape[0] * x.shape[1]
-        return fused_linear_cross_entropy(
-            x.reshape(n, -1), params["output"]["kernel"], labels.reshape(n), config.fused_ce_chunks
-        )
-    logits = apply_linear(x, params["output"], dynamic_int8_act=False)
+        return fused_linear_cross_entropy(x.reshape(n, -1), kernel, labels.reshape(n), config.fused_ce_chunks)
+    logits = x @ kernel.astype(x.dtype)
     if labels is not None:
         return cross_entropy_loss(logits, labels)
     return logits
@@ -284,6 +332,7 @@ def forward(
     kv_cache=None,
     input_pos: jnp.ndarray | None = None,
     kv_len: jnp.ndarray | None = None,
+    dropout_rng: jnp.ndarray | None = None,
 ):
     """Training/prefill/decode forward (≡ Llama.forward, modelling/llama.py:196-219).
 
@@ -300,7 +349,7 @@ def forward(
     else:
         mask_info = MaskInfo(causal=True, segment_ids=segment_ids)
 
-    x, new_cache = trunk(params, config, x, mask_info, kv_cache, input_pos)
+    x, new_cache = trunk(params, config, x, mask_info, kv_cache, input_pos, dropout_rng=dropout_rng)
     out = head(params, config, x, labels)
     if kv_cache is not None:
         return out, new_cache

@@ -90,12 +90,16 @@ def dot_product_attention(
     v: jnp.ndarray,
     mask_info: MaskInfo | None = None,
     scale: float | None = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """XLA reference GQA attention.
 
     q: [B, Sq, Hq, D]; k, v: [B, Skv, Hkv, D] with Hq % Hkv == 0.
     Softmax in fp32 (matches SDPA numerics closely enough for bf16 training), output in
-    q.dtype. This is the fallback/oracle path; the Pallas flash kernel is the fast path.
+    q.dtype. Optional attention-probability dropout with inverted scaling (≡ the
+    reference's training-only SDPA dropout, modelling/llama.py:136). This is the
+    fallback/oracle path; the Pallas flash kernel is the fast path.
     """
     B, Sq, Hq, D = q.shape
     _, Skv, Hkv, _ = k.shape
@@ -117,5 +121,8 @@ def dot_product_attention(
             logits = jnp.where(mask[:, :, None, :, :], logits, jnp.finfo(jnp.float32).min)
 
     probs = jax.nn.softmax(logits, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
     out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, vf)
     return out.reshape(B, Sq, Hq, D).astype(q.dtype)

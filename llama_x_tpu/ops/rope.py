@@ -46,15 +46,20 @@ def build_rope(
     head_dim: int,
     base: float = 50_000.0,
     is_llama3_1: bool = False,
+    scale_factor: float = 8.0,
+    low_freq_factor: float = 1.0,
+    high_freq_factor: float = 4.0,
+    old_context_len: int = 8192,
 ) -> jnp.ndarray:
     """Precompute the rope table ``[seq_len, head_dim//2, 2]`` (cos, sin) in float32.
 
     Computed with numpy at trace time — the table is a compile-time constant folded into
-    the jitted step, so there is no runtime cost.  Matches modelling/llama.py:54-60.
+    the jitted step, so there is no runtime cost.  Matches modelling/llama.py:54-60. The
+    rescale parameters come from the checkpoint's rope_scaling (3.1: factor 8; 3.2: 32).
     """
     theta = default_rope_frequencies(head_dim, base)
     if is_llama3_1:
-        theta = scale_llama3_1_rope(theta)
+        theta = scale_llama3_1_rope(theta, scale_factor, low_freq_factor, high_freq_factor, old_context_len)
     pos = np.arange(seq_len, dtype=np.float32)
     angles = np.einsum("i,j->ij", pos, theta)
     table = np.stack([np.cos(angles), np.sin(angles)], axis=-1)

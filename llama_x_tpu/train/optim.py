@@ -118,7 +118,10 @@ def adamw_quantized(
         assert params is not None, "adamw_quantized needs params (for weight decay)"
         count = state["count"] + 1
         cf = count.astype(jnp.float32)
-        lr = learning_rate(count) if callable(learning_rate) else learning_rate
+        # LR evaluated at the PRE-increment count (optax scale_by_schedule convention) so
+        # AdamW8bit/4bit are drop-in schedule-compatible with optax.adamw; bias
+        # correction uses the post-increment count, also matching optax
+        lr = learning_rate(state["count"]) if callable(learning_rate) else learning_rate
 
         g_leaves, treedef = jax.tree.flatten(grads)
         p_leaves = treedef.flatten_up_to(params)

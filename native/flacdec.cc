@@ -171,8 +171,9 @@ extern "C" {
 //   out             : caller buffer for interleaved int32 samples (or null to query)
 //   out_capacity    : number of int32 slots in out
 //   sample_rate/channels/bits_per_sample : outputs
-// Returns total samples-per-channel decoded, or -1 on malformed input, or the required
-// total (per-channel) count if out == null (probe mode uses STREAMINFO total_samples).
+// Returns total samples-per-channel decoded, -1 on malformed input, -2 if out_capacity
+// is too small (caller should retry with a larger buffer), or the STREAMINFO total
+// (per-channel) count if out == null (0 when the stream does not declare it).
 long long flac_decode(const uint8_t* data, size_t len, int32_t* out, size_t out_capacity,
                       int* sample_rate, int* channels, int* bits_per_sample) {
   if (len < 8 || memcmp(data, "fLaC", 4) != 0) return -1;
@@ -276,7 +277,7 @@ long long flac_decode(const uint8_t* data, size_t len, int32_t* out, size_t out_
       }
     }
 
-    if ((size_t)((written + blocksize) * nch) > out_capacity) return -1;
+    if ((size_t)((written + blocksize) * nch) > out_capacity) return -2;  // caller: grow buffer
     for (int i = 0; i < blocksize; ++i)
       for (int c = 0; c < nch; ++c) out[(written + i) * nch + c] = (int32_t)ch[c][i];
     written += blocksize;
