@@ -10,3 +10,9 @@ def context_parallel_attention(*args, **kwargs):  # lazy: avoids a cycle at impo
     from llama_x_tpu.parallel.context import context_parallel_attention as f
 
     return f(*args, **kwargs)
+
+
+def pipeline_loss(*args, **kwargs):  # lazy: avoids a cycle at import time
+    from llama_x_tpu.parallel.pipeline import pipeline_loss as f
+
+    return f(*args, **kwargs)

@@ -1,0 +1,168 @@
+"""Pipeline parallelism: GPipe-style microbatch pipelining over a "pp" mesh axis.
+
+The reference has no distributed layer at all (SURVEY.md §2.3 lists PP as a green-field
+mesh axis). TPU-native design: layers are sharded across stages on their stacked leading
+axis (the scan layout makes this a pure data sharding — stage s holds layers
+[s·L/P, (s+1)·L/P)); activations flow stage-to-stage with ``lax.ppermute`` over
+neighbor ICI links inside one ``shard_map``; the schedule is a ``lax.scan`` over
+``n_micro + n_stages − 1`` ticks (GPipe fill/steady/drain, bubble = (P−1)/(M+P−1)).
+
+Everything is differentiable by construction (scan + ppermute transpose), so one
+``jax.grad`` of ``pipeline_loss`` gives pipeline-parallel training with no custom VJP.
+Loss semantics match the fused-loss forward exactly: sum of per-token CE over valid
+labels / total valid count, so PP loss ≡ single-device loss bit-for-fp-bit.
+
+Composition: the pp axis slots next to dp/fsdp in the same mesh; batch microbatching
+here is orthogonal to the trainer's gradient-accumulation scan.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from llama_x_tpu.models import llama
+from llama_x_tpu.ops.attention import MaskInfo
+from llama_x_tpu.ops.cross_entropy import IGNORE_INDEX
+from llama_x_tpu.ops.norms import rms_norm
+from llama_x_tpu.ops.rope import build_rope
+
+
+def _stage_trunk(layer_params, config, x, rope, mask_info):
+    """Run this stage's local slice of layers (same scanned block as llama.trunk)."""
+
+    def body(carry, p):
+        out, _ = llama.block(p, config, carry, rope, mask_info)
+        return out, None
+
+    if config.activation_checkpointing:
+        policy = (
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            if config.remat_policy == "dots"
+            else None
+        )
+        body = jax.checkpoint(body, prevent_cse=False, policy=policy)
+    x, _ = jax.lax.scan(body, x, layer_params)
+    return x
+
+
+def pipeline_loss(
+    params,
+    config: llama.LlamaConfig,
+    tokens: jnp.ndarray,
+    labels: jnp.ndarray,
+    mesh: Mesh,
+    n_microbatches: int,
+    axis_name: str = "pp",
+    segment_ids: jnp.ndarray | None = None,
+):
+    """Pipeline-parallel fused-loss forward. tokens/labels [B, S]; B % n_microbatches == 0.
+
+    params["layers"] leaves must be shardable on their leading (num_layers) axis by the
+    pp mesh axis; all other params replicate. Returns the scalar mean CE loss
+    (identical semantics to llama.forward with labels).
+    """
+    n_stages = mesh.shape[axis_name]
+    assert config.num_layers % n_stages == 0, (config.num_layers, n_stages)
+    B, S = tokens.shape
+    M = n_microbatches
+    assert B % M == 0, (B, M)
+    mb = B // M
+
+    layer_spec = jax.tree.map(lambda _: P(axis_name), params["layers"])
+    other = {k: v for k, v in params.items() if k != "layers"}
+    other_spec = jax.tree.map(lambda _: P(), other)
+
+    def run(layers_local, other_params, tokens, labels, seg):
+        full = dict(other_params, layers=layers_local)
+        stage = jax.lax.axis_index(axis_name)
+        is_first = stage == 0
+        is_last = stage == n_stages - 1
+
+        rope = build_rope(
+            config.max_seq_len, config.head_dim, config.rope_base, config.is_llama3_1,
+            scale_factor=config.rope_scale_factor,
+            low_freq_factor=config.rope_low_freq_factor,
+            high_freq_factor=config.rope_high_freq_factor,
+            old_context_len=config.rope_old_context_len,
+        )[:S]
+
+        micro_tok = tokens.reshape(M, mb, S)
+        micro_lab = labels.reshape(M, mb, S)
+        micro_seg = seg.reshape(M, mb, S)
+
+        perm = [(i, i + 1) for i in range(n_stages - 1)]  # stage s -> s+1
+
+        def tick(carry, t):
+            inflight, loss_sum, n_valid = carry
+            # stage 0 injects microbatch t (zeros once the batch is drained)
+            mb_idx = jnp.clip(t, 0, M - 1)
+            fresh_tok = jax.lax.dynamic_index_in_dim(micro_tok, mb_idx, 0, keepdims=False)
+            fresh = jnp.take(full["tok_embeddings"]["weight"], fresh_tok, axis=0)
+            fresh = jnp.where(t < M, fresh, jnp.zeros_like(fresh))
+            x = jnp.where(is_first, fresh, inflight)
+
+            # stage s is processing microbatch (t - s) this tick — per-microbatch
+            # metadata must be indexed per stage, not by the injected index
+            proc_idx = jnp.clip(t - stage, 0, M - 1)
+            mi = MaskInfo(
+                causal=True,
+                segment_ids=jax.lax.dynamic_index_in_dim(micro_seg, proc_idx, 0, keepdims=False)
+                if segment_ids is not None
+                else None,
+            )
+            x = _stage_trunk(full["layers"], config, x, rope, mi)
+
+            # last stage: microbatch (t - n_stages + 1) completes on tick t
+            done_idx = t - (n_stages - 1)
+            lab = jax.lax.dynamic_index_in_dim(micro_lab, jnp.clip(done_idx, 0, M - 1), 0, keepdims=False)
+            h = rms_norm(x, full["norm"]["scale"], config.norm_eps)
+            kernel = (
+                full["tok_embeddings"]["weight"].T
+                if config.tied_embeddings
+                else full["output"]["kernel"]
+            )
+            logits = (h @ kernel.astype(h.dtype)).astype(jnp.float32)
+            valid = lab != IGNORE_INDEX
+            safe = jnp.where(valid, lab, 0)
+            logz = jax.nn.logsumexp(logits, axis=-1)
+            gold = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+            mb_loss = jnp.sum(jnp.where(valid, logz - gold, 0.0))
+            mb_n = jnp.sum(valid)
+
+            take = is_last & (done_idx >= 0) & (done_idx < M)
+            loss_sum = loss_sum + jnp.where(take, mb_loss, 0.0)
+            n_valid = n_valid + jnp.where(take, mb_n, 0)
+
+            # ship activations to the next stage (last stage's output is dropped)
+            inflight = jax.lax.ppermute(x, axis_name, perm)
+            return (inflight, loss_sum, n_valid), None
+
+        def vary(v):
+            try:
+                return jax.lax.pcast(v, (axis_name,), to="varying")
+            except ValueError:
+                return v
+
+        embed_dtype = full["tok_embeddings"]["weight"].dtype
+        init = (
+            vary(jnp.zeros((mb, S, config.embed_dim), embed_dtype)),
+            vary(jnp.zeros((), jnp.float32)),
+            vary(jnp.zeros((), jnp.int32)),
+        )
+        ticks = jnp.arange(M + n_stages - 1, dtype=jnp.int32)
+        (_, loss_sum, n_valid), _ = jax.lax.scan(tick, init, ticks)
+
+        # only the last stage holds the real numbers; psum-select replicates them
+        loss_sum = jax.lax.psum(jnp.where(is_last, loss_sum, 0.0), axis_name)
+        n_valid = jax.lax.psum(jnp.where(is_last, n_valid, 0), axis_name)
+        return loss_sum / jnp.maximum(n_valid, 1).astype(jnp.float32)
+
+    seg = segment_ids if segment_ids is not None else jnp.zeros_like(tokens)
+    return jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(layer_spec, other_spec, P(), P(), P()),
+        out_specs=P(),
+    )(params["layers"], other, tokens, labels, seg)

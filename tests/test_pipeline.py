@@ -1,0 +1,62 @@
+"""Pipeline parallelism: GPipe schedule over a pp mesh axis must match the
+single-device fused-loss forward exactly (loss and gradients) on the 8-device CPU sim."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from llama_x_tpu.models import llama
+from llama_x_tpu.parallel.pipeline import pipeline_loss
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 sim devices")
+
+
+def _mesh_pp(n):
+    return Mesh(np.asarray(jax.devices()[:n]).reshape(n), ("pp",))
+
+
+def _setup(num_layers=8, B=4, S=32, tied=False):
+    config = llama.tiny_config(num_layers=num_layers, max_seq_len=64, attn_impl="xla", tied_embeddings=tied)
+    params = llama.init(jax.random.PRNGKey(0), config, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, config.vocab_size, (B, S)), jnp.int32)
+    labels = jnp.asarray(rng.integers(0, config.vocab_size, (B, S)), jnp.int32)
+    labels = labels.at[:, -3:].set(-100)  # some ignored positions
+    return config, params, tokens, labels
+
+
+@pytest.mark.parametrize("n_stages,n_micro", [(4, 4), (8, 2), (2, 4)])
+def test_pipeline_loss_matches_single_device(n_stages, n_micro):
+    config, params, tokens, labels = _setup()
+    want = float(llama.forward(params, config, tokens, labels=labels))
+    got = float(pipeline_loss(params, config, tokens, labels, _mesh_pp(n_stages), n_micro))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_pipeline_grads_match_single_device():
+    config, params, tokens, labels = _setup(num_layers=4, B=4, S=16)
+    mesh = _mesh_pp(4)
+
+    g_pp = jax.grad(lambda p: pipeline_loss(p, config, tokens, labels, mesh, 2))(params)
+    g_ref = jax.grad(lambda p: llama.forward(p, config, tokens, labels=labels))(params)
+    from llama_x_tpu.utils.tree import named_leaves
+
+    for (n, a), (_, b) in zip(named_leaves(g_pp), named_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6, err_msg=n)
+
+
+def test_pipeline_tied_embeddings():
+    config, params, tokens, labels = _setup(tied=True)
+    want = float(llama.forward(params, config, tokens, labels=labels))
+    got = float(pipeline_loss(params, config, tokens, labels, _mesh_pp(4), 4))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_pipeline_document_mask():
+    config, params, tokens, labels = _setup()
+    seg = jnp.asarray(np.sort(np.random.default_rng(1).integers(1, 4, tokens.shape), axis=1), jnp.int32)
+    want = float(llama.forward(params, config, tokens, segment_ids=seg, labels=labels))
+    got = float(pipeline_loss(params, config, tokens, labels, _mesh_pp(4), 4, segment_ids=seg))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
