@@ -61,7 +61,7 @@ def main():
         max_seq_len=4096,
         vocab_size=32_000,
         activation_checkpointing=True,
-        remat_policy="dots",
+        remat_policy="dots_flash",
         fused_ce_chunks=8,
         attn_impl="auto",
     )

@@ -65,7 +65,8 @@ class LlamaConfig:
     norm_eps: float = 1e-5
     # remat policy when activation_checkpointing: "full" recomputes everything;
     # "dots" saves matmul outputs (jax dots_with_no_batch_dims_saveable) — faster
-    # backward, ~2x the activation memory of "full"
+    # backward, ~2x the activation memory of "full"; "dots_flash" additionally saves
+    # the flash-attention outputs+lse so the backward never re-runs the fwd kernel
     remat_policy: str = "full"
 
     def replace(self, **kw) -> "LlamaConfig":
@@ -282,11 +283,14 @@ def trunk(
             return out, None
 
         if config.activation_checkpointing:
-            policy = (
-                jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-                if config.remat_policy == "dots"
-                else None
-            )
+            policy = None
+            if config.remat_policy == "dots":
+                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            elif config.remat_policy == "dots_flash":
+                policy = jax.checkpoint_policies.save_from_both_policies(
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                    jax.checkpoint_policies.save_only_these_names("flash_residuals"),
+                )
             body = jax.checkpoint(body, prevent_cse=False, policy=policy)
         x, _ = jax.lax.scan(body, x, (layer_params, layer_rngs))
         return x, None

@@ -375,6 +375,12 @@ def _make_flash(scale: float, causal: bool, has_seg: bool, has_prefix: bool, bq:
 
     def f_fwd(q, k, v, qseg, kseg, prefix):
         out, lse = _fwd(*_norm((q, k, v, qseg, kseg, prefix)), scale=scale, causal=causal, bq=bq, bk=bk)
+        # named so a remat policy can SAVE the attention output+lse — without this the
+        # backward re-runs the whole forward kernel under jax.checkpoint (see
+        # LlamaConfig.remat_policy='dots_flash')
+        from jax.ad_checkpoint import checkpoint_name
+
+        out, lse = checkpoint_name((out, lse), "flash_residuals")
         return out, (q, k, v, qseg, kseg, prefix, out, lse)
 
     def f_bwd(res, do):
