@@ -47,6 +47,7 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--project")
     parser.add_argument("--run_name")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--skip_nonfinite", action="store_true", help="suppress updates on NaN/Inf grads")
     parser.add_argument("--profile", action="store_true")
     parser.add_argument("--resume")
 

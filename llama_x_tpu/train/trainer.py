@@ -46,6 +46,7 @@ def full_params(state: TrainState):
 def make_train_step(
     loss_fn: Callable[[Any, Any], tuple[jnp.ndarray, jnp.ndarray]],
     tx: optax.GradientTransformation,
+    skip_nonfinite: bool = False,
 ):
     """loss_fn(params, microbatch) -> (scalar loss, n_label_tokens).
 
@@ -53,7 +54,14 @@ def make_train_step(
     have a leading [accum] microbatch axis (use accum=1 for no accumulation).
     Metrics: loss (mean over microbatches), grad_norm (post-accumulation, pre-clip),
     n_tokens (sum of non-pad label tokens — feeds the toks/s meter,
-    ≡ train_metamathqa.py:228,247).
+    ≡ train_metamathqa.py:228,247), skipped (1.0 when skip_nonfinite suppressed the
+    update).
+
+    skip_nonfinite: failure containment for long unattended runs — when the global grad
+    norm is NaN/Inf (bad batch, overflow) the whole update (params AND optimizer state)
+    is suppressed for that step instead of poisoning the run. The reference has no such
+    guard (SURVEY §5 'failure detection: none'); on TPU a single skipped step is far
+    cheaper than restoring a checkpoint.
     """
 
     def train_step(state: TrainState, batch):
@@ -95,6 +103,13 @@ def make_train_step(
             lambda p, pf, u: (pf + u).astype(p.dtype), state["trainable"], params_f32, updates
         )
 
+        skipped = jnp.zeros((), jnp.float32)
+        if skip_nonfinite:
+            ok = jnp.isfinite(grad_norm)
+            trainable = jax.tree.map(lambda new, old: jnp.where(ok, new, old), trainable, state["trainable"])
+            opt_state = jax.tree.map(lambda new, old: jnp.where(ok, new, old), opt_state, state["opt_state"])
+            skipped = jnp.where(ok, 0.0, 1.0)
+
         new_state = {
             "trainable": trainable,
             "frozen": frozen,
@@ -105,6 +120,7 @@ def make_train_step(
             "loss": loss_sum / accum,
             "grad_norm": grad_norm,
             "n_tokens": ntok,
+            "skipped": skipped,
         }
         return new_state, metrics
 

@@ -153,3 +153,36 @@ def test_frozen_params_unchanged_lora_step():
             continue  # trainable things may move
         if "kernel" in name or "weight" in name or name == "norm/scale":
             np.testing.assert_array_equal(val, now, err_msg=f"{name} should be frozen")
+
+
+def test_skip_nonfinite_guard():
+    """A NaN-producing batch must leave params and optimizer state untouched."""
+    config = llama.tiny_config()
+    params = llama.init(jax.random.PRNGKey(0), config, dtype=jnp.float32)
+    mask = trainable_mask(params)
+    tx = get_optimizer("AdamW", 1e-2)
+    state = init_train_state(params, mask, tx)
+
+    def nan_loss_fn(p, mb):
+        loss = llama.forward(p, config, mb["tokens"], labels=mb["labels"])
+        # multiplicative NaN when the sentinel appears so grads (not just the loss)
+        # go non-finite
+        scale = jnp.where(jnp.any(mb["labels"] == -12345), jnp.float32(jnp.nan), 1.0)
+        return loss * scale, jnp.sum(mb["labels"] != -100)
+
+    step = jax.jit(make_train_step(nan_loss_fn, tx, skip_nonfinite=True))
+    rng = np.random.default_rng(0)
+    batch = _batchify(rng, config, 1, 2, 16)
+
+    before = {n: np.asarray(v).copy() for n, v in named_leaves(state["trainable"])}
+    bad_batch = dict(batch, labels=batch["labels"].at[..., 0].set(-12345))
+    state, metrics = step(state, bad_batch)
+    assert float(metrics["skipped"]) == 1.0
+    for n, v in named_leaves(state["trainable"]):
+        np.testing.assert_array_equal(np.asarray(v), before[n], err_msg=n)
+
+    # a good batch still updates
+    state, metrics = step(state, batch)
+    assert float(metrics["skipped"]) == 0.0
+    changed = any(not np.array_equal(np.asarray(v), before[n]) for n, v in named_leaves(state["trainable"]))
+    assert changed

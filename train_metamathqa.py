@@ -74,7 +74,7 @@ def main():
         return loss, jnp.sum(mb["labels"] != -100)
 
     state = init_train_state(params, mask, tx)
-    train_step = jax.jit(make_train_step(loss_fn, tx), donate_argnums=(0,))
+    train_step = jax.jit(make_train_step(loss_fn, tx, skip_nonfinite=args.skip_nonfinite), donate_argnums=(0,))
 
     step = 0
     if args.resume:
