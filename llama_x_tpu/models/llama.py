@@ -1,7 +1,8 @@
 """Functional Llama-3/3.1 decoder.
 
 Capabilities mirror the reference model (modelling/llama.py): GQA attention with RoPE
-(incl. Llama-3.1 long-context rescale), SwiGLU MLP, pre-RMSNorm blocks, untied LM head,
+(incl. Llama-3.1/3.2 long-context rescale), SwiGLU MLP, pre-RMSNorm blocks, untied or
+tied LM head,
 fused-loss forward (scalar CE when labels given), per-layer activation checkpointing,
 static full-length KV cache for decode. The *design* is idiomatic JAX:
 
