@@ -115,6 +115,7 @@ def forward(
     kv_cache=None,
     input_pos=None,
     kv_len=None,
+    dropout_rng=None,
 ):
     """≡ LlamaAudio.forward (modelling/audio.py:38-77). Returns loss/logits (+cache).
 
@@ -133,6 +134,7 @@ def forward(
     return fusion.fuse_forward(
         params, config, prefix, tokens,
         labels=labels, prefix_lm=prefix_lm, kv_cache=kv_cache, input_pos=input_pos, kv_len=kv_len,
+        dropout_rng=dropout_rng,
     )
 
 

@@ -40,7 +40,10 @@ def fuse_forward(
 
     if kv_cache is not None:
         q_pos = input_pos[None, :] if input_pos is not None else None
-        mask_info = MaskInfo(causal=True, q_positions=q_pos, kv_len=kv_len)
+        # the bidirectional modality prefix must survive into cache prefill, or the
+        # cached K/V mismatch prefix-LM training semantics
+        pl = jnp.full((x.shape[0],), n_prefix, jnp.int32) if (prefix_lm and n_prefix > 0) else None
+        mask_info = MaskInfo(causal=True, q_positions=q_pos, kv_len=kv_len, prefix_len=pl)
     elif prefix_lm and n_prefix > 0:
         mask_info = MaskInfo(causal=True, prefix_len=jnp.full((x.shape[0],), n_prefix, jnp.int32))
     else:

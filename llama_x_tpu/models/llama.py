@@ -196,6 +196,8 @@ def attention(
     if config.attn_impl == "ring" and cache is None:
         # context parallelism: sequence sharded over the ambient mesh's "cp" axis,
         # KV blocks rotate the ring (ops/ring_attention.py)
+        if use_dropout:
+            raise NotImplementedError("attention dropout is not supported with attn_impl='ring'")
         from llama_x_tpu.parallel.context import context_parallel_attention
         from llama_x_tpu.parallel.mesh import current_mesh
 
@@ -244,6 +246,19 @@ def block(
     return x, new_cache
 
 
+def remat_policy(config: LlamaConfig):
+    """Checkpoint policy for config.remat_policy — the single definition shared by
+    llama.trunk and parallel/pipeline.py (they must not drift)."""
+    if config.remat_policy == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if config.remat_policy == "dots_flash":
+        return jax.checkpoint_policies.save_from_both_policies(
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            jax.checkpoint_policies.save_only_these_names("flash_residuals"),
+        )
+    return None
+
+
 def trunk(
     params: Params,
     config: LlamaConfig,
@@ -284,15 +299,7 @@ def trunk(
             return out, None
 
         if config.activation_checkpointing:
-            policy = None
-            if config.remat_policy == "dots":
-                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-            elif config.remat_policy == "dots_flash":
-                policy = jax.checkpoint_policies.save_from_both_policies(
-                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-                    jax.checkpoint_policies.save_only_these_names("flash_residuals"),
-                )
-            body = jax.checkpoint(body, prevent_cse=False, policy=policy)
+            body = jax.checkpoint(body, prevent_cse=False, policy=remat_policy(config))
         x, _ = jax.lax.scan(body, x, (layer_params, layer_rngs))
         return x, None
 

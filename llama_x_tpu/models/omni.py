@@ -31,6 +31,7 @@ def forward(
     kv_cache=None,
     input_pos=None,
     kv_len=None,
+    dropout_rng=None,
 ):
     embed_dtype = params["tok_embeddings"]["weight"].dtype
     prefix = []
@@ -47,6 +48,7 @@ def forward(
     return fusion.fuse_forward(
         params, config, prefix, tokens,
         labels=labels, prefix_lm=prefix_lm, kv_cache=kv_cache, input_pos=input_pos, kv_len=kv_len,
+        dropout_rng=dropout_rng,
     )
 
 

@@ -91,6 +91,7 @@ def forward(
     kv_cache=None,
     input_pos=None,
     kv_len=None,
+    dropout_rng=None,
 ):
     """Fuyu-style early fusion: image tokens prepended to text (≡ the audio pattern,
     modelling/audio.py:63,72-73, applied to the README's planned image modality)."""
@@ -104,6 +105,7 @@ def forward(
     return fusion.fuse_forward(
         params, config, prefix, tokens,
         labels=labels, prefix_lm=prefix_lm, kv_cache=kv_cache, input_pos=input_pos, kv_len=kv_len,
+        dropout_rng=dropout_rng,
     )
 
 

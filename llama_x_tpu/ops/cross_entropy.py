@@ -42,6 +42,22 @@ def _chunk(x, i, num_chunks):
     return jax.lax.dynamic_slice_in_dim(x, i * size, size, axis=0)
 
 
+def _match_vma(x, ref):
+    """Mark x as varying over the same shard_map manual axes as ref — fresh zeros used
+    as loop carries are 'unvarying' and the loop body's output (derived from ref) is
+    varying, which scan/fori_loop reject. No-op outside shard_map."""
+    try:
+        vma = tuple(jax.typeof(ref).vma)
+    except Exception:
+        return x
+    if not vma:
+        return x
+    try:
+        return jax.lax.pcast(x, vma, to="varying")
+    except (ValueError, TypeError):
+        return x
+
+
 def _flce_forward(hidden, kernel, labels, num_chunks):
     n, _ = hidden.shape
     assert n % num_chunks == 0, f"rows {n} not divisible by num_chunks {num_chunks}"
@@ -61,7 +77,7 @@ def _flce_forward(hidden, kernel, labels, num_chunks):
         gold = jnp.take_along_axis(logits, lbl[:, None], axis=-1)[:, 0]
         return sum_loss + jnp.sum(jnp.where(vld, logz - gold, 0.0))
 
-    sum_loss = jax.lax.fori_loop(0, num_chunks, body, jnp.zeros((), jnp.float32))
+    sum_loss = jax.lax.fori_loop(0, num_chunks, body, _match_vma(jnp.zeros((), jnp.float32), hidden))
     n_valid = jnp.maximum(jnp.sum(valid), 1)
     return sum_loss / n_valid, n_valid
 
@@ -109,8 +125,8 @@ def _flce_bwd(num_chunks, res, g):
         )
         return (dh, dk)
 
-    dh0 = jnp.zeros(hidden.shape, jnp.float32)
-    dk0 = jnp.zeros(kernel.shape, jnp.float32)
+    dh0 = _match_vma(jnp.zeros(hidden.shape, jnp.float32), hidden)
+    dk0 = _match_vma(jnp.zeros(kernel.shape, jnp.float32), hidden)
     dh, dk = jax.lax.fori_loop(0, num_chunks, body, (dh0, dk0))
     scale = g / n_valid.astype(jnp.float32)
     dlabels = np.zeros(labels.shape, dtype=jax.dtypes.float0)  # int primal → float0 cotangent

@@ -50,12 +50,12 @@ def _block_attention(q, k, v, mask, scale):
     if mask is not None:
         s = jnp.where(mask[:, :, None, :, :], s, _NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
-    # rows with no visible kv this block: keep lse = -inf-ish, out = 0
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1)
     out = jnp.einsum("bhgqk,bkhd->bqhgd", p, v.astype(jnp.float32))
+    # fully-masked rows: m = -1e30 so lse ~ -1e30 naturally — the merge weight
+    # exp(lse - merged_lse) underflows to 0 and the (normalized-garbage) out is ignored
     lse = m[..., 0] + jnp.log(jnp.maximum(l, 1e-30))  # [B, Hkv, group, Sq]
-    lse = jnp.where(l > 0.0, lse, _NEG_INF)
     # normalize per-block so the merge is a convex combination
     out = out / jnp.maximum(l, 1e-30).transpose(0, 3, 1, 2)[..., None]  # [B,Sq,Hkv,g,D]
     out = out.reshape(B, Sq, Hq, D)
@@ -127,12 +127,21 @@ def ring_attention(
     out0 = jnp.zeros((B, S_local, Hq, D), jnp.float32)
     lse0 = jnp.full((B, S_local, Hq), _NEG_INF, jnp.float32)
     # freshly-created carries are "unvarying" under shard_map's manual-axes tracking,
-    # but the scan body makes them vary over the ring axis — mark them up front
+    # but the scan body makes them vary over the ring axis AND any other manual axes
+    # the inputs carry (e.g. a dp-sharded batch) — mark them up front
+    try:
+        in_axes = set(jax.typeof(q).vma)
+    except Exception:
+        in_axes = set()
+    in_axes.add(axis_name)
+
     def vary(x):
-        try:
-            return jax.lax.pcast(x, (axis_name,), to="varying")
-        except ValueError:  # already varying over the ring axis
-            return x
+        for ax in in_axes:
+            try:
+                x = jax.lax.pcast(x, (ax,), to="varying")
+            except ValueError:  # already varying over ax
+                pass
+        return x
     carry = (
         vary(out0),
         vary(lse0),

@@ -40,8 +40,14 @@ def context_parallel_attention(
     S = q.shape[1]
     assert S % n == 0, (S, n)
 
-    seq_spec = P(None, axis_name, None, None)
-    seg_spec = P(None, axis_name)
+    # keep the batch sharded over whatever data axes the mesh has — pinning it to
+    # replicated would all-gather q/k/v over dp/fsdp at every layer and compute the
+    # global batch redundantly on each data-parallel group
+    batch_axes = tuple(a for a in ("dp", "fsdp") if a in mesh.shape and mesh.shape[a] > 1)
+    b_spec = batch_axes if batch_axes else None
+    seq_spec = P(b_spec, axis_name, None, None)
+    seg_spec = P(b_spec, axis_name)
+    prefix_spec = P(b_spec)
 
     def local_fn(q, k, v, seg, prefix):
         lmi = MaskInfo(
@@ -57,6 +63,6 @@ def context_parallel_attention(
     return jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(seq_spec, seq_spec, seq_spec, seg_spec, P(None)),
+        in_specs=(seq_spec, seq_spec, seq_spec, seg_spec, prefix_spec),
         out_specs=seq_spec,
     )(q, k, v, seg, prefix)

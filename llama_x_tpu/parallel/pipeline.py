@@ -12,8 +12,10 @@ Everything is differentiable by construction (scan + ppermute transpose), so one
 Loss semantics match the fused-loss forward exactly: sum of per-token CE over valid
 labels / total valid count, so PP loss ≡ single-device loss bit-for-fp-bit.
 
-Composition: the pp axis slots next to dp/fsdp in the same mesh; batch microbatching
-here is orthogonal to the trainer's gradient-accumulation scan.
+Composition: build the mesh with a "pp" axis (e.g. ``Mesh(devs.reshape(dp, pp),
+("dp", "pp"))``); when a "dp" axis is present the batch is sharded over it (each
+data-parallel group pipelines its own shard). Microbatching here is orthogonal to the
+trainer's gradient-accumulation scan.
 """
 
 from __future__ import annotations
@@ -24,7 +26,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from llama_x_tpu.models import llama
 from llama_x_tpu.ops.attention import MaskInfo
-from llama_x_tpu.ops.cross_entropy import IGNORE_INDEX
+from llama_x_tpu.ops.cross_entropy import IGNORE_INDEX, _flce_forward
 from llama_x_tpu.ops.norms import rms_norm
 from llama_x_tpu.ops.rope import build_rope
 
@@ -37,12 +39,7 @@ def _stage_trunk(layer_params, config, x, rope, mask_info):
         return out, None
 
     if config.activation_checkpointing:
-        policy = (
-            jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-            if config.remat_policy == "dots"
-            else None
-        )
-        body = jax.checkpoint(body, prevent_cse=False, policy=policy)
+        body = jax.checkpoint(body, prevent_cse=False, policy=llama.remat_policy(config))
     x, _ = jax.lax.scan(body, x, layer_params)
     return x
 
@@ -67,12 +64,18 @@ def pipeline_loss(
     assert config.num_layers % n_stages == 0, (config.num_layers, n_stages)
     B, S = tokens.shape
     M = n_microbatches
-    assert B % M == 0, (B, M)
-    mb = B // M
 
     layer_spec = jax.tree.map(lambda _: P(axis_name), params["layers"])
     other = {k: v for k, v in params.items() if k != "layers"}
     other_spec = jax.tree.map(lambda _: P(), other)
+    # shard the batch over a dp axis when the mesh has one (each dp group pipelines
+    # its own batch shard); M microbatches then split the LOCAL batch
+    b_axes = tuple(a for a in ("dp", "fsdp") if a in mesh.shape and mesh.shape[a] > 1)
+    b_spec = P(b_axes if b_axes else None, None)
+    dp_size = 1
+    for a in b_axes:
+        dp_size *= mesh.shape[a]
+    assert (B // dp_size) % M == 0, (B, dp_size, M)
 
     def run(layers_local, other_params, tokens, labels, seg):
         full = dict(other_params, layers=layers_local)
@@ -88,6 +91,7 @@ def pipeline_loss(
             old_context_len=config.rope_old_context_len,
         )[:S]
 
+        mb = tokens.shape[0] // M  # local batch / microbatches
         micro_tok = tokens.reshape(M, mb, S)
         micro_lab = labels.reshape(M, mb, S)
         micro_seg = seg.reshape(M, mb, S)
@@ -123,13 +127,21 @@ def pipeline_loss(
                 if config.tied_embeddings
                 else full["output"]["kernel"]
             )
-            logits = (h @ kernel.astype(h.dtype)).astype(jnp.float32)
             valid = lab != IGNORE_INDEX
-            safe = jnp.where(valid, lab, 0)
-            logz = jax.nn.logsumexp(logits, axis=-1)
-            gold = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
-            mb_loss = jnp.sum(jnp.where(valid, logz - gold, 0.0))
             mb_n = jnp.sum(valid)
+            if config.fused_ce_chunks > 0:
+                # chunked fused CE — never materializes [mb*S, vocab] logits (the whole
+                # point of the fused head at Llama-3's 128k vocab)
+                mean_loss, n_valid_f = _flce_forward(
+                    h.reshape(-1, h.shape[-1]), kernel, lab.reshape(-1), config.fused_ce_chunks
+                )
+                mb_loss = mean_loss * n_valid_f.astype(jnp.float32)
+            else:
+                logits = (h @ kernel.astype(h.dtype)).astype(jnp.float32)
+                safe = jnp.where(valid, lab, 0)
+                logz = jax.nn.logsumexp(logits, axis=-1)
+                gold = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+                mb_loss = jnp.sum(jnp.where(valid, logz - gold, 0.0))
 
             take = is_last & (done_idx >= 0) & (done_idx < M)
             loss_sum = loss_sum + jnp.where(take, mb_loss, 0.0)
@@ -140,10 +152,14 @@ def pipeline_loss(
             return (inflight, loss_sum, n_valid), None
 
         def vary(v):
-            try:
-                return jax.lax.pcast(v, (axis_name,), to="varying")
-            except ValueError:
-                return v
+            # carries must be varying over every manual axis the tick body touches:
+            # pp (stage index / ppermute) and any data axes the batch is sharded over
+            for ax in (axis_name, *b_axes):
+                try:
+                    v = jax.lax.pcast(v, (ax,), to="varying")
+                except ValueError:
+                    pass  # already varying over ax
+            return v
 
         embed_dtype = full["tok_embeddings"]["weight"].dtype
         init = (
@@ -154,15 +170,20 @@ def pipeline_loss(
         ticks = jnp.arange(M + n_stages - 1, dtype=jnp.int32)
         (_, loss_sum, n_valid), _ = jax.lax.scan(tick, init, ticks)
 
-        # only the last stage holds the real numbers; psum-select replicates them
+        # only the last stage holds the real numbers; psum-select over pp replicates
+        # them within the stage group, then reduce over any data axes so every device
+        # returns the same global mean loss
         loss_sum = jax.lax.psum(jnp.where(is_last, loss_sum, 0.0), axis_name)
         n_valid = jax.lax.psum(jnp.where(is_last, n_valid, 0), axis_name)
+        for a in b_axes:
+            loss_sum = jax.lax.psum(loss_sum, a)
+            n_valid = jax.lax.psum(n_valid, a)
         return loss_sum / jnp.maximum(n_valid, 1).astype(jnp.float32)
 
     seg = segment_ids if segment_ids is not None else jnp.zeros_like(tokens)
     return jax.shard_map(
         run,
         mesh=mesh,
-        in_specs=(layer_spec, other_spec, P(), P(), P()),
+        in_specs=(layer_spec, other_spec, b_spec, b_spec, b_spec),
         out_specs=P(),
     )(params["layers"], other, tokens, labels, seg)

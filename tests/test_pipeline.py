@@ -60,3 +60,20 @@ def test_pipeline_document_mask():
     want = float(llama.forward(params, config, tokens, segment_ids=seg, labels=labels))
     got = float(pipeline_loss(params, config, tokens, labels, _mesh_pp(4), 4, segment_ids=seg))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_pipeline_fused_ce_matches_plain():
+    config, params, tokens, labels = _setup(num_layers=4, B=4, S=32)
+    mesh = _mesh_pp(4)
+    plain = float(pipeline_loss(params, config, tokens, labels, mesh, 2))
+    fused = float(pipeline_loss(params, config.replace(fused_ce_chunks=4), tokens, labels, mesh, 2))
+    np.testing.assert_allclose(fused, plain, rtol=1e-5)
+
+
+def test_pipeline_composes_with_dp():
+    """dp=2 x pp=4 mesh: batch sharded over dp, each group pipelines its shard."""
+    config, params, tokens, labels = _setup(num_layers=4, B=4, S=32)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("dp", "pp"))
+    want = float(llama.forward(params, config, tokens, labels=labels))
+    got = float(pipeline_loss(params, config, tokens, labels, mesh, 2))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
