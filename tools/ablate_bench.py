@@ -14,13 +14,20 @@ from llama_x_tpu.models import llama
 from llama_x_tpu.models.audio import AudioConfig, LlamaAudio
 
 
+def _sync(out):
+    # jax.block_until_ready does NOT sync on the tunneled TPU backend — force a
+    # device->host transfer of a scalar derived from the output
+    leaf = jax.tree.leaves(out)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
 def timeit(fn, *args, n=5, name=""):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     dt = (time.perf_counter() - t0) / n
     print(f"{name:45s} {dt*1e3:9.1f} ms")
     return dt
