@@ -117,7 +117,7 @@ def setup_mesh_and_optimizer(args, params):
     params = shard_params(params, mesh)
     schedule = trapezoid_schedule(args.lr, args.n_steps, args.warmup, args.decay)
     tx = get_optimizer(args.optim, schedule, args.weight_decay, args.clip_grad_norm)
-    return mesh, params, tx
+    return mesh, params, tx, schedule
 
 
 def assemble_step_batch(micro_batches: list[dict], mesh=None, pad_values: dict | None = None) -> dict:

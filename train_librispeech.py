@@ -88,7 +88,7 @@ def main():
     # 40 s ⇒ 2000 audio tokens + ≤2096 text tokens ⇒ max_seq_len 4096
     # (≡ train_librispeech.py:166-170)
     model, params, config, mask = build_model_params(args, LlamaAudio, max_seq_len=4096)
-    mesh, params, tx = setup_mesh_and_optimizer(args, params)
+    mesh, params, tx, schedule = setup_mesh_and_optimizer(args, params)
 
     micro_bs = args.batch_size // args.gradient_accumulation
     if args.synthetic:
@@ -142,6 +142,7 @@ def main():
             log = {
                 "loss": float(metrics["loss"]),
                 "grad_norm": float(metrics["grad_norm"]),
+                "lr": float(schedule(step)),
                 **device_memory_stats(),
             }
             if step > 0:

@@ -47,7 +47,7 @@ def main():
     model, params, config, mask = build_model_params(
         args, llama.Llama, max_seq_len=args.max_seq_len
     )
-    mesh, params, tx = setup_mesh_and_optimizer(args, params)
+    mesh, params, tx, schedule = setup_mesh_and_optimizer(args, params)
 
     micro_bs = args.batch_size // args.gradient_accumulation
     if args.synthetic:
@@ -97,6 +97,7 @@ def main():
             log = {
                 "loss": float(metrics["loss"]),
                 "grad_norm": float(metrics["grad_norm"]),
+                "lr": float(schedule(step)),
                 **device_memory_stats(),
             }
             meter.update(int(metrics["n_tokens"]))
