@@ -47,9 +47,12 @@ _LANES = 128
 INTERPRET = False
 
 
-def _block_mask(s, q_start, kv_start, bq, bk, *, causal, qseg, kseg, prefix):
-    """Apply MaskInfo semantics to a [bq, bk] logit tile (must mirror
+def _build_mask(q_start, kv_start, bq, bk, *, causal, qseg, kseg, prefix):
+    """MaskInfo semantics as a [bq, bk] bool tile (must mirror
     ops/attention.py:make_attention_mask exactly: (causal & same_seg) | in_prefix).
+    Returns None when nothing is masked. Built ONCE per grid cell and shared by every
+    query head of the GQA group (the VPU iota/compare chain is a real cost next to the
+    per-block matmuls).
 
     qseg: [bq, 1] int32 | None;  kseg: [1, bk] int32 | None;  prefix: scalar | None.
     """
@@ -64,7 +67,17 @@ def _block_mask(s, q_start, kv_start, bq, bk, *, causal, qseg, kseg, prefix):
     if prefix is not None:
         in_prefix = (q_pos < prefix) & (kv_pos < prefix)
         mask = in_prefix if mask is None else (mask | in_prefix)
-    return s if mask is None else jnp.where(mask, s, _NEG_INF)
+    return mask
+
+
+def _apply_mask(s, mask, group, bq, bk):
+    """s: [group*bq, bk] logits; mask: [bq, bk] bool | None (same for every group head)."""
+    if mask is None:
+        return s
+    if group == 1:
+        return jnp.where(mask, s, _NEG_INF)
+    s3 = s.reshape(group, bq, bk)
+    return jnp.where(mask[None], s3, _NEG_INF).reshape(group * bq, bk)
 
 
 def _needed(q_start, kv_start, bq, bk, *, causal, prefix):
@@ -83,7 +96,7 @@ def _needed(q_start, kv_start, bq, bk, *, causal, prefix):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(*refs, scale, causal, has_seg, has_prefix, bq, bk):
+def _fwd_kernel(*refs, scale, causal, has_seg, has_prefix, bq, bk, group):
     it = iter(refs)
     q_ref, k_ref, v_ref = next(it), next(it), next(it)
     qseg_ref = next(it) if has_seg else None
@@ -94,6 +107,7 @@ def _fwd_kernel(*refs, scale, causal, has_seg, has_prefix, bq, bk):
 
     j = pl.program_id(3)
     nk = pl.num_programs(3)
+    rows = group * bq  # the whole GQA group of query heads rides one grid cell
 
     @pl.when(j == 0)
     def _init():
@@ -107,20 +121,21 @@ def _fwd_kernel(*refs, scale, causal, has_seg, has_prefix, bq, bk):
     prefix = prefix_ref[pl.program_id(0), 0] if has_prefix else None
 
     def compute():
-        q = q_ref[0, 0]  # [bq, D]
+        q = q_ref[0, 0].reshape(rows, -1)  # [group*bq, D]
         k = k_ref[0, 0]  # [bk, D]
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         s *= scale
-        s = _block_mask(
-            s, q_start, kv_start, bq, bk,
+        mask = _build_mask(
+            q_start, kv_start, bq, bk,
             causal=causal,
             qseg=qseg_ref[0] if has_seg else None,  # [bq, 1]
             kseg=kseg_ref[0] if has_seg else None,  # [1, bk]
             prefix=prefix,
         )
-        m_prev = m_ref[:, :1]  # [bq, 1]
+        s = _apply_mask(s, mask, group, bq, bk)
+        m_prev = m_ref[:, :1]  # [group*bq, 1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
@@ -143,8 +158,10 @@ def _fwd_kernel(*refs, scale, causal, has_seg, has_prefix, bq, bk):
     @pl.when(j == nk - 1)
     def _epilogue():
         l = l_ref[:, :1]
-        out_ref[0, 0] = (acc_ref[:] / jnp.where(l == 0.0, 1.0, l)).astype(out_ref.dtype)
-        lse_ref[0, 0] = m_ref[:, :1] + jnp.log(jnp.maximum(l, 1e-30))  # [bq, 1]
+        out = (acc_ref[:] / jnp.where(l == 0.0, 1.0, l)).astype(out_ref.dtype)
+        out_ref[0, 0] = out.reshape(group, bq, -1)
+        lse = m_ref[:, :1] + jnp.log(jnp.maximum(l, 1e-30))  # [group*bq, 1]
+        lse_ref[0, 0] = lse.reshape(group, bq, 1)
 
 
 def _fwd(q, k, v, qseg, kseg, prefix, *, scale, causal, bq, bk):
@@ -158,12 +175,16 @@ def _fwd(q, k, v, qseg, kseg, prefix, *, scale, causal, bq, bk):
     nq, nk = Sq // bq, Skv // bk
     has_seg, has_prefix = qseg is not None, prefix is not None
 
+    # q is viewed [B, Hkv, group, Sq, D]: one grid cell processes a kv head's whole GQA
+    # group — K/V stream once per group (not once per q head) and the mask tile is
+    # built once and shared
+    q5 = q.reshape(B, Hkv, group, Sq, D)
     in_specs = [
-        pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j, g=group: (b, h // g, j, 0)),
-        pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j, g=group: (b, h // g, j, 0)),
+        pl.BlockSpec((1, 1, group, bq, D), lambda b, h, i, j: (b, h, 0, i, 0)),
+        pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j: (b, h, j, 0)),
+        pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j: (b, h, j, 0)),
     ]
-    operands = [q, k, v]
+    operands = [q5, k, v]
     if has_seg:
         in_specs += [
             pl.BlockSpec((1, bq, 1), lambda b, h, i, j: (b, i, 0)),
@@ -175,24 +196,25 @@ def _fwd(q, k, v, qseg, kseg, prefix, *, scale, causal, bq, bk):
         operands.append(prefix)
 
     kernel = functools.partial(
-        _fwd_kernel, scale=scale, causal=causal, has_seg=has_seg, has_prefix=has_prefix, bq=bq, bk=bk
+        _fwd_kernel, scale=scale, causal=causal, has_seg=has_seg, has_prefix=has_prefix,
+        bq=bq, bk=bk, group=group,
     )
     out, lse = pl.pallas_call(
         kernel,
-        grid=(B, Hq, nq, nk),
+        grid=(B, Hkv, nq, nk),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, group, bq, D), lambda b, h, i, j: (b, h, 0, i, 0)),
+            pl.BlockSpec((1, 1, group, bq, 1), lambda b, h, i, j: (b, h, 0, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, Hq, Sq, D), q.dtype),
-            jax.ShapeDtypeStruct((B, Hq, Sq, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, group, Sq, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, group, Sq, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bq, D), jnp.float32),
-            pltpu.VMEM((bq, _LANES), jnp.float32),
-            pltpu.VMEM((bq, _LANES), jnp.float32),
+            pltpu.VMEM((group * bq, D), jnp.float32),
+            pltpu.VMEM((group * bq, _LANES), jnp.float32),
+            pltpu.VMEM((group * bq, _LANES), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
@@ -204,7 +226,7 @@ def _fwd(q, k, v, qseg, kseg, prefix, *, scale, causal, bq, bk):
         ),
         interpret=INTERPRET,
     )(*operands)
-    return out, lse
+    return out.reshape(B, Hq, Sq, D), lse.reshape(B, Hq, Sq, 1)
 
 
 # ---------------------------------------------------------------------------
@@ -212,7 +234,7 @@ def _fwd(q, k, v, qseg, kseg, prefix, *, scale, causal, bq, bk):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dkv_kernel(*refs, scale, causal, has_seg, has_prefix, bq, bk, fused_dq):
+def _bwd_dkv_kernel(*refs, scale, causal, has_seg, has_prefix, bq, bk, group, fused_dq):
     it = iter(refs)
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (next(it) for _ in range(6))
     qseg_ref = next(it) if has_seg else None
@@ -224,6 +246,7 @@ def _bwd_dkv_kernel(*refs, scale, causal, has_seg, has_prefix, bq, bk, fused_dq)
 
     i = pl.program_id(3)  # q block — innermost on this kernel
     nq = pl.num_programs(3)
+    rows = group * bq
 
     @pl.when(i == 0)
     def _init():
@@ -235,22 +258,24 @@ def _bwd_dkv_kernel(*refs, scale, causal, has_seg, has_prefix, bq, bk, fused_dq)
     prefix = prefix_ref[pl.program_id(0), 0] if has_prefix else None
 
     def compute():
-        q = q_ref[0, 0]
+        q = q_ref[0, 0].reshape(rows, -1)  # whole GQA group stacked [group*bq, D]
         k = k_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
-        s = _block_mask(
-            s, q_start, kv_start, bq, bk, causal=causal,
+        mask = _build_mask(
+            q_start, kv_start, bq, bk, causal=causal,
             qseg=qseg_ref[0] if has_seg else None,
             kseg=kseg_ref[0] if has_seg else None,
             prefix=prefix,
         )
-        p = jnp.exp(s - lse_ref[0, 0])  # [bq, bk]
-        do = do_ref[0, 0]  # [bq, D]
+        s = _apply_mask(s, mask, group, bq, bk)
+        p = jnp.exp(s - lse_ref[0, 0].reshape(rows, 1))  # [group*bq, bk]
+        do = do_ref[0, 0].reshape(rows, -1)  # [group*bq, D]
+        # contracting over the stacked group rows sums dk/dv over the group in-kernel
         dv_acc[:] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         dp = jax.lax.dot_general(do, v_ref[0, 0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta_ref[0, 0]) * scale  # [bq, bk]
+        ds = p * (dp - delta_ref[0, 0].reshape(rows, 1)) * scale  # [group*bq, bk]
         dk_acc[:] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -258,9 +283,10 @@ def _bwd_dkv_kernel(*refs, scale, causal, has_seg, has_prefix, bq, bk, fused_dq)
             # dq contribution of THIS kv block; partials land in their own [j] slot and
             # are reduced in XLA — avoids running a whole second kernel that recomputes
             # s/p/dp just to accumulate dq over j
-            dqp_ref[0, 0, 0] = jax.lax.dot_general(
+            dq_blk = jax.lax.dot_general(
                 ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )
+            dqp_ref[0, 0, 0] = dq_blk.reshape(group, bq, -1)
 
     guard = _needed(q_start, kv_start, bq, bk, causal=causal, prefix=prefix)
     if guard is None:
@@ -289,20 +315,27 @@ def _bwd(q, k, v, qseg, kseg, prefix, out, lse, do, *, scale, causal, bq, bk):
     # delta = rowsum(dO * O), carried with trailing singleton: [B, Hq, Sq, 1]
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True)
 
+    # q-side arrays viewed [B, Hkv, group, ...] so one grid cell handles a kv head's
+    # whole GQA group: K/V stream once per group, the mask tile is shared, and dk/dv
+    # sum over the group INSIDE the kernel (outputs are per kv head directly)
+    q5 = q.reshape(B, Hkv, group, Sq, D)
+    do5 = do.reshape(B, Hkv, group, Sq, D)
+    lse5 = lse.reshape(B, Hkv, group, Sq, 1)
+    delta5 = delta.reshape(B, Hkv, group, Sq, 1)
+
     def qkv_specs():
-        # grid (b, h, j, i): kv-block parallel, q-block innermost
-        qmap = lambda b, h, j, i: (b, h, i, 0)
-        kmap = lambda b, h, j, i, g=group: (b, h // g, j, 0)
-        rowmap = lambda b, h, j, i: (b, h, i, 0)
+        # grid (b, h, j, i): h over KV heads, kv-block parallel, q-block innermost
+        qmap = lambda b, h, j, i: (b, h, 0, i, 0)
+        kmap = lambda b, h, j, i: (b, h, j, 0)
         qsmap = lambda b, h, j, i: (b, i, 0)
         ksmap = lambda b, h, j, i: (b, 0, j)
         specs = [
-            pl.BlockSpec((1, 1, bq, D), qmap),
+            pl.BlockSpec((1, 1, group, bq, D), qmap),
             pl.BlockSpec((1, 1, bk, D), kmap),
             pl.BlockSpec((1, 1, bk, D), kmap),
-            pl.BlockSpec((1, 1, bq, D), qmap),  # do
-            pl.BlockSpec((1, 1, bq, 1), rowmap),  # lse
-            pl.BlockSpec((1, 1, bq, 1), rowmap),  # delta
+            pl.BlockSpec((1, 1, group, bq, D), qmap),  # do
+            pl.BlockSpec((1, 1, group, bq, 1), qmap),  # lse
+            pl.BlockSpec((1, 1, group, bq, 1), qmap),  # delta
         ]
         if has_seg:
             specs += [pl.BlockSpec((1, bq, 1), qsmap), pl.BlockSpec((1, 1, bk), ksmap)]
@@ -310,7 +343,7 @@ def _bwd(q, k, v, qseg, kseg, prefix, out, lse, do, *, scale, causal, bq, bk):
             specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # whole [B, 1] array
         return specs
 
-    operands = [q, k, v, do, lse, delta]
+    operands = [q5, k, v, do5, lse5, delta5]
     if has_seg:
         operands += [qseg, kseg]
     if has_prefix:
@@ -321,22 +354,23 @@ def _bwd(q, k, v, qseg, kseg, prefix, out, lse, do, *, scale, causal, bq, bk):
     # whole fwd+bwd). The dq partials cost nk x extra HBM transiently and one XLA
     # reduction, which is far cheaper than the recompute.
     static = dict(
-        scale=scale, causal=causal, has_seg=has_seg, has_prefix=has_prefix, bq=bq, bk=bk, fused_dq=True
+        scale=scale, causal=causal, has_seg=has_seg, has_prefix=has_prefix,
+        bq=bq, bk=bk, group=group, fused_dq=True,
     )
 
-    dk_per_head, dv_per_head, dq_partials = pl.pallas_call(
+    dk, dv, dq_partials = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, **static),
-        grid=(B, Hq, nk, nq),
+        grid=(B, Hkv, nk, nq),
         in_specs=qkv_specs(),
         out_specs=[
             pl.BlockSpec((1, 1, bk, D), lambda b, h, j, i: (b, h, j, 0)),
             pl.BlockSpec((1, 1, bk, D), lambda b, h, j, i: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, 1, bq, D), lambda b, h, j, i: (b, h, j, i, 0)),
+            pl.BlockSpec((1, 1, 1, group, bq, D), lambda b, h, j, i: (b, h, j, 0, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, Hq, Skv, D), jnp.float32),
-            jax.ShapeDtypeStruct((B, Hq, Skv, D), jnp.float32),
-            jax.ShapeDtypeStruct((B, Hq, nk, Sq, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, Skv, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, Skv, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, nk, group, Sq, D), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((bk, D), jnp.float32), pltpu.VMEM((bk, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -350,11 +384,8 @@ def _bwd(q, k, v, qseg, kseg, prefix, out, lse, do, *, scale, causal, bq, bk):
         interpret=INTERPRET,
     )(*operands)
 
-    dq = dq_partials.sum(axis=2)
-    # GQA group-sum in XLA (fuses with the dtype cast)
-    dk = dk_per_head.reshape(B, Hkv, group, Skv, D).sum(axis=2).astype(k.dtype)
-    dv = dv_per_head.reshape(B, Hkv, group, Skv, D).sum(axis=2).astype(v.dtype)
-    return dq.astype(q.dtype), dk, dv
+    dq = dq_partials.sum(axis=2).reshape(B, Hq, Sq, D)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 # ---------------------------------------------------------------------------
