@@ -2,15 +2,23 @@
 score word error rate (BASELINE.md: 'LibriSpeech step time + WER parity' — the
 reference has no eval script at all; this is the framework's ASR eval surface).
 
+``--resume`` takes a train run dir (or a specific step_NNNNNNNN checkpoint inside one):
+the TrainState's trainable/frozen partitions are merged back into full model params
+(train/checkpoint.py:restore_params) and the architecture is rebuilt from the run's
+model_config.json — no HF download needed to eval a trained checkpoint. Restored params
+may contain LoRA/DoRA/int8 leaves; apply_linear consumes them as-is.
+
 usage:
-  python eval_librispeech.py --data_dir LibriSpeech/dev-clean --resume runs/.../ckpt
+  python eval_librispeech.py --data_dir LibriSpeech/dev-clean --resume runs/librispeech/<run>
   python eval_librispeech.py --synthetic 4        # offline smoke (tiny random model)
+  python eval_librispeech.py --synthetic 4 --resume runs/librispeech/<run>  # offline ckpt smoke
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +68,26 @@ def main():
     parser.add_argument("--synthetic", type=int, default=0, help="N synthetic utterances (offline smoke)")
     args = parser.parse_args()
 
+    def restore_into(model):
+        """Replace model params with a trained checkpoint's merged trainable+frozen
+        tree (+ architecture from the run's model_config.json when available)."""
+        from llama_x_tpu.train.checkpoint import latest_checkpoint, restore_params
+        from llama_x_tpu.train.cli import load_model_config
+
+        run_dir = Path(args.resume)
+        path = latest_checkpoint(run_dir) or run_dir
+        # model_config.json sits in the run dir; --resume may point at the run dir or
+        # at a step_NNNNNNNN checkpoint inside it
+        saved = load_model_config(run_dir) or load_model_config(run_dir.parent)
+        if saved is not None:
+            model.config = saved[0]
+            if saved[1] is not None:
+                model.audio_config = saved[1]
+        params, step = restore_params(path)
+        model.params = jax.tree.map(jnp.asarray, params)
+        print(f"restored step-{step} params from {path}")
+        return model
+
     if args.synthetic:
         from llama_x_tpu.data.tokenizers import ByteTokenizer
 
@@ -69,6 +97,8 @@ def main():
             intermediate_dim=512, vocab_size=512, max_seq_len=512,
         )
         model = LlamaAudio.init(jax.random.PRNGKey(0), config, AudioConfig(), dtype=jnp.bfloat16)
+        if args.resume:
+            model = restore_into(model)
         rng = np.random.default_rng(0)
         refs, hyps = [], []
         for i in range(args.synthetic):
@@ -80,13 +110,18 @@ def main():
         return
 
     tokenizer = get_tokenizer(args.tokenizer, args.tokenizer_path)
-    model = LlamaAudio.from_hf(args.model, max_seq_len=4096)
-    if args.resume:
-        from llama_x_tpu.train.checkpoint import latest_checkpoint, restore_checkpoint
-
-        path = latest_checkpoint(args.resume) or args.resume
-        state = restore_checkpoint(path, {"params": model.params})
-        model.params = state["params"]
+    resume_dir = Path(args.resume) if args.resume else None
+    has_saved_config = resume_dir is not None and (
+        (resume_dir / "model_config.json").exists()
+        or (resume_dir.parent / "model_config.json").exists()
+    )
+    if has_saved_config:
+        # full architecture + weights from the run dir: no HF access needed
+        model = restore_into(LlamaAudio({}, None))
+    else:
+        model = LlamaAudio.from_hf(args.model, max_seq_len=4096)
+        if args.resume:
+            model = restore_into(model)
 
     from llama_x_tpu.data.librispeech import index_librispeech, load_audio
 

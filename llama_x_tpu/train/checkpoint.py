@@ -60,6 +60,52 @@ def restore_checkpoint(path: str | Path, template_state):
     return _load_npz(path, template_state)
 
 
+def restore_raw(path: str | Path):
+    """Restore a checkpoint WITHOUT a template: returns the saved tree as plain nested
+    dicts/lists with numpy/jax arrays (None leaves round-trip as None). The npz fallback
+    rebuilds dict nesting from the '/'-joined leaf names, so non-dict containers
+    (optimizer namedtuples) come back as dicts keyed by index — fine for reading
+    params/step, not for resuming an optimizer (use restore_checkpoint for that)."""
+    path = Path(path).absolute()
+    if _HAVE_ORBAX and not (path / "state.npz").exists():
+        return ocp.StandardCheckpointer().restore(path)
+    with np.load(path / "state.npz") as z:
+        flat = {k.replace("\x1f", "/"): z[k] for k in z.files}
+    tree: dict = {}
+    for name, arr in flat.items():
+        node = tree
+        parts = name.split("/")
+        for k in parts[:-1]:
+            node = node.setdefault(k, {})
+        node[parts[-1]] = arr
+    return tree
+
+
+def restore_params(path: str | Path):
+    """Restore model params (trainable+frozen merged back together) + step from a
+    TrainState checkpoint — the eval-side counterpart of trainer.full_params (the
+    reference restores a monolithic state_dict, train_librispeech.py:200-204; our
+    TrainState partitions params by the trainable mask, so reading a checkpoint for
+    inference must merge the partitions again)."""
+    state = restore_raw(path)
+    step = int(np.asarray(state.get("step", 0)))
+    if "trainable" in state and "frozen" in state:
+        return _merge_partitions(state["trainable"], state["frozen"]), step
+    return state.get("params", state), step
+
+
+def _merge_partitions(a, b):
+    """Merge the trainable/frozen partitions of a raw-restored state. Handles both
+    encodings of 'absent': None leaves (orbax) and missing dict keys (npz)."""
+    if isinstance(a, dict) and isinstance(b, dict):
+        return {
+            k: _merge_partitions(a.get(k), b.get(k)) if k in a and k in b
+            else (a[k] if k in a else b[k])
+            for k in {**a, **b}
+        }
+    return b if a is None else a
+
+
 # --- numpy fallback (no orbax): flat npz of leaves ---
 
 

@@ -69,6 +69,58 @@ def make_save_dir(task: str, run_name: str | None) -> Path:
     return d
 
 
+def save_model_config(save_dir: Path, config, audio_config=None):
+    """Persist the model hyperparameters next to the checkpoints so eval scripts can
+    rebuild the exact architecture without re-deriving it from CLI args or HF
+    (eval_librispeech.py --resume reads this)."""
+    import dataclasses
+
+    rec = {"llama": dataclasses.asdict(config)}
+    if audio_config is not None:
+        rec["audio"] = dataclasses.asdict(audio_config)
+    (Path(save_dir) / "model_config.json").write_text(json.dumps(rec, indent=2))
+
+
+def load_model_config(run_dir: Path):
+    """(LlamaConfig, AudioConfig | None) from a run dir's model_config.json, or None."""
+    from llama_x_tpu.models.audio import AudioConfig
+    from llama_x_tpu.models.llama import LlamaConfig
+
+    p = Path(run_dir) / "model_config.json"
+    if not p.exists():
+        return None
+    rec = json.loads(p.read_text())
+    llama_config = LlamaConfig(**rec["llama"])
+    audio_config = AudioConfig(**rec["audio"]) if "audio" in rec else None
+    return llama_config, audio_config
+
+
+def prefetch(it, depth: int = 2):
+    """Background-thread prefetcher: batch assembly + host→device transfer overlap the
+    running step (replaces the reference's DataLoader worker processes,
+    train_librispeech.py:192). Wrap the FULL step-batch pipeline (assembly +
+    device_put), not just the raw iterator — device_put through the relay is the
+    expensive part worth hiding."""
+    import queue as queue_mod
+    import threading
+
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=depth)
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        finally:
+            q.put(None)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        yield item
+
+
 def build_model_params(args, model_cls, **extra_config):
     """from_hf (or tiny synthetic init) → freeze → quantize → adapt
     (composition order ≡ train_metamathqa.py:172-186)."""

@@ -60,3 +60,74 @@ def test_resume_continues_training(tmp_path):
 
     for (n, a), (_, b) in zip(named_leaves(state_a["trainable"]), named_leaves(state_b["trainable"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7, err_msg=n)
+
+
+def test_restore_params_merges_partitions(tmp_path):
+    """restore_params gives back the FULL param tree (trainable+frozen merged) from a
+    TrainState checkpoint — the eval restore contract (eval_librispeech.py --resume)."""
+    from llama_x_tpu.train.checkpoint import restore_params
+    from llama_x_tpu.train.trainer import full_params
+
+    config = llama.tiny_config()
+    params = llama.init(jax.random.PRNGKey(0), config, dtype=jnp.float32)
+    params = dict(params, layers=apply_linear_adapter(params["layers"], "lora", jax.random.PRNGKey(1)))
+    # lora-only training: base weights all frozen → both partitions are non-trivial
+    mask = trainable_mask(params, freeze_prefixes=("tok_embeddings", "output", "norm"))
+    state = init_train_state(params, mask, optax.adamw(1e-3))
+    state = dict(state, step=jnp.asarray(7, jnp.int32))
+    save_checkpoint(tmp_path, state, step=7)
+
+    restored, step = restore_params(latest_checkpoint(tmp_path))
+    assert step == 7
+    want = dict(named_leaves(full_params(state)))
+    got = dict(named_leaves(restored))
+    assert set(want) == set(got)
+    for n in want:
+        np.testing.assert_array_equal(np.asarray(want[n]), np.asarray(got[n]), err_msg=n)
+
+
+def test_train_save_eval_roundtrip(tmp_path, monkeypatch, capsys):
+    """End-to-end: train a step on the audio model, checkpoint + model_config.json,
+    then eval_librispeech --resume produces a WER (VERDICT r1 'What's weak #1')."""
+    import json
+    import sys
+
+    from llama_x_tpu.models import audio as audio_mod
+    from llama_x_tpu.models.audio import AudioConfig, LlamaAudio
+    from llama_x_tpu.train.cli import save_model_config
+
+    config = llama.tiny_config(
+        embed_dim=256, num_layers=2, head_dim=32, num_heads=8, num_kv_heads=4,
+        intermediate_dim=512, vocab_size=512, max_seq_len=512,
+    )
+    audio_config = AudioConfig()
+    model = LlamaAudio.init(jax.random.PRNGKey(1), config, audio_config, dtype=jnp.bfloat16)
+    params = dict(model.params, layers=apply_linear_adapter(model.params["layers"], "lora", jax.random.PRNGKey(2)))
+    mask = trainable_mask(params, freeze_prefixes=("tok_embeddings", "output", "norm"))
+    tx = optax.adamw(1e-3)
+
+    def loss_fn(p, mb):
+        loss = audio_mod.forward(p, config, audio_config, mb["audio"], mb["tokens"], labels=mb["labels"])
+        return loss, jnp.sum(mb["labels"] != -100)
+
+    step_fn = jax.jit(make_train_step(loss_fn, tx))
+    rng = np.random.default_rng(0)
+    batch = {
+        "audio": jnp.asarray(rng.standard_normal((1, 1, 8000)).astype(np.float32) * 0.1),
+        "tokens": jnp.asarray(rng.integers(1, config.vocab_size, (1, 1, 32)).astype(np.int32)),
+        "labels": jnp.asarray(rng.integers(1, config.vocab_size, (1, 1, 32)).astype(np.int32)),
+    }
+    state = init_train_state(params, mask, tx)
+    state, _ = step_fn(state, batch)
+    save_checkpoint(tmp_path, state, step=1)
+    save_model_config(tmp_path, config, audio_config)
+
+    import eval_librispeech
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["eval_librispeech.py", "--synthetic", "1", "--max_new_tokens", "2", "--resume", str(tmp_path)],
+    )
+    eval_librispeech.main()
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["n_utts"] == 1 and 0.0 <= rec["wer"] <= 10.0

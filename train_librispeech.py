@@ -16,9 +16,6 @@ Examples:
 from __future__ import annotations
 
 import argparse
-import functools
-import threading
-import queue as queue_mod
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +31,8 @@ from llama_x_tpu.train.cli import (
     assemble_step_batch,
     build_model_params,
     make_save_dir,
+    prefetch,
+    save_model_config,
     setup_mesh_and_optimizer,
 )
 from llama_x_tpu.train.metrics import Profiler, RunLogger, Throughput, device_memory_stats
@@ -50,25 +49,6 @@ def synthetic_audio_batches(rng, audio_config, micro_bs, audio_duration, seq_len
         labels = np.roll(tokens, -1, axis=-1).astype(np.int32)
         labels[:, -1] = -100
         yield {"audio": audio, "tokens": tokens, "labels": labels}
-
-
-def prefetch(it, depth: int = 2):
-    """Background-thread prefetcher (replaces the reference's DataLoader worker
-    processes, train_librispeech.py:192): audio decode + packing overlap the step."""
-    q: queue_mod.Queue = queue_mod.Queue(maxsize=depth)
-
-    def worker():
-        for item in it:
-            q.put(item)
-        q.put(None)
-
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
-        if item is None:
-            return
-        yield item
 
 
 def main():
@@ -128,17 +108,29 @@ def main():
         print(f"resumed from {path} at step {step}")
 
     save_dir = make_save_dir("librispeech", args.run_name)
+    save_model_config(save_dir, config, audio_config)
     logger = RunLogger(save_dir, config=vars(args), project=args.project, run_name=args.run_name)
     meter = Throughput()
     profiler = Profiler(str(save_dir / "profile")) if args.profile else None
 
+    def step_batches():
+        while True:
+            micro = [next(data_iter) for _ in range(args.gradient_accumulation)]
+            yield assemble_step_batch(micro, mesh, pad_values={"labels": -100})
+
+    batch_iter = prefetch(step_batches(), depth=2)
+
+    # token count accumulates ON DEVICE between log points (no per-step host readback
+    # through the slow relay); audio seconds are a host-side constant per step
+    tok_acc, audio_acc = None, 0.0
     while step < args.n_steps:
-        micro = [next(data_iter) for _ in range(args.gradient_accumulation)]
-        batch = assemble_step_batch(micro, mesh, pad_values={"labels": -100})
-        state, metrics = train_step(state, batch)
-        meter.update(int(metrics["n_tokens"]), audio_secs=args.audio_duration * args.batch_size)
+        state, metrics = train_step(state, next(batch_iter))
+        tok_acc = metrics["n_tokens"] if tok_acc is None else tok_acc + metrics["n_tokens"]
+        audio_acc += args.audio_duration * args.batch_size
 
         if step % args.log_interval == 0:
+            meter.update(int(tok_acc), audio_secs=audio_acc)
+            tok_acc, audio_acc = None, 0.0
             log = {
                 "loss": float(metrics["loss"]),
                 "grad_norm": float(metrics["grad_norm"]),

@@ -26,6 +26,8 @@ from llama_x_tpu.train.cli import (
     assemble_step_batch,
     build_model_params,
     make_save_dir,
+    prefetch,
+    save_model_config,
     setup_mesh_and_optimizer,
 )
 from llama_x_tpu.train.metrics import Profiler, RunLogger, Throughput, device_memory_stats
@@ -84,29 +86,39 @@ def main():
         print(f"resumed from {path} at step {step}")
 
     save_dir = make_save_dir("metamathqa", args.run_name)
+    save_model_config(save_dir, config)
     logger = RunLogger(save_dir, config=vars(args), project=args.project, run_name=args.run_name)
     meter = Throughput()
     profiler = Profiler(str(save_dir / "profile")) if args.profile else None
 
+    def step_batches():
+        while True:
+            micro = [next(data_iter) for _ in range(args.gradient_accumulation)]
+            yield assemble_step_batch(micro, mesh, pad_values={"labels": -100})
+
+    batch_iter = prefetch(step_batches(), depth=2)
+
+    # token count accumulates ON DEVICE between log points — int()-ing it every step
+    # would force a device→host readback per step and serialize dispatch against the
+    # step (the relay transfer is slow; measured as a real per-step cost)
+    tok_acc = None
     while step < args.n_steps:
-        micro = [next(data_iter) for _ in range(args.gradient_accumulation)]
-        batch = assemble_step_batch(micro, mesh, pad_values={"labels": -100})
-        state, metrics = train_step(state, batch)
+        state, metrics = train_step(state, next(batch_iter))
+        tok_acc = metrics["n_tokens"] if tok_acc is None else tok_acc + metrics["n_tokens"]
 
         if step % args.log_interval == 0:
+            meter.update(int(tok_acc))
+            tok_acc = None
             log = {
                 "loss": float(metrics["loss"]),
                 "grad_norm": float(metrics["grad_norm"]),
                 "lr": float(schedule(step)),
                 **device_memory_stats(),
             }
-            meter.update(int(metrics["n_tokens"]))
             if step > 0:
                 log.update(meter.rates())
             logger.log(log, step)
             print(f"step {step}: loss {log['loss']:.4f}")
-        else:
-            meter.update(int(metrics["n_tokens"]))
 
         step += 1
         if args.ckpt_interval > 0 and step % args.ckpt_interval == 0:
