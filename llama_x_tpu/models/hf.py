@@ -1,28 +1,40 @@
-"""HuggingFace Llama checkpoint import (≡ modelling/llama.py:221-292).
+"""HuggingFace Llama checkpoint import (≡ modelling/llama.py:221-292) — streaming.
 
 - config mapping: hidden_size→embed_dim, optional head_dim, rope_theta→rope_base,
   rope_scaling.rope_type=="llama3" → is_llama3_1 (≡ _get_hf_config, llama.py:234-253).
 - key renaming: strips "model.", maps q/k/v/o projections, gate/up/down MLP and the two
   layernorms to this framework's names (≡ _rename_hf_key, llama.py:256-270).
-- weights: safetensors preferred, torch .bin fallback; loaded lazily tensor-by-tensor and
-  stacked per layer on a leading axis (the scan layout). Linear weights are [out, in] in
-  HF and stored here as kernel [in, out].
+- weights: safetensors preferred, torch .bin fallback. Loading is STREAMING: no tensor
+  is ever materialized whole-model- or whole-layer-stacked on the host. Each param leaf
+  is built with ``jax.make_array_from_callback``; the callback reads only the byte
+  ranges of the requested device shard (safetensors ``get_slice`` / mmap'd torch
+  tensors) and converts chunk-by-chunk straight to the target dtype — the TPU-native
+  analogue of the reference's meta-device + ``assign=True`` load economics
+  (modelling/llama.py:225-231, 273-292): peak host memory is one leaf-shard, not the
+  model. bf16 checkpoints never take an fp32 detour (safetensors hands back ml_dtypes
+  bfloat16 views).
+- sharded placement: pass ``mesh=`` to place every leaf directly onto its
+  parallel/sharding.py PartitionSpec as it loads — each host reads only its addressable
+  shards (multi-host FSDP import reads 1/N of the checkpoint per host).
 
-Works from a local directory (offline tests create one with transformers) or a hub id
-(downloads gated on network availability).
+Linear weights are [out, in] in HF and stored here as kernel [in, out]; per-layer
+tensors are stacked on a leading axis (the scan layout).
 """
 
 from __future__ import annotations
 
 import json
-import os
 import re
 from pathlib import Path
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from llama_x_tpu.models.llama import LlamaConfig
+
+# test/telemetry hook: chunk sizes the streaming loader actually materialized on host
+LOAD_STATS = {"chunk_bytes": 0, "max_chunk_bytes": 0, "n_chunks": 0}
 
 
 def _resolve(model_id_or_path: str, filename: str) -> str:
@@ -82,25 +94,58 @@ def load_hf_config(model_id_or_path: str, **overrides) -> LlamaConfig:
     return config.replace(**overrides)
 
 
-def _iter_hf_tensors(files: list[str]):
-    """Yield (hf_key, numpy array) from safetensors or torch .bin files."""
-    import torch
+# ---------------------------------------------------------------------------
+# lazy per-tensor readers
+# ---------------------------------------------------------------------------
 
-    def to_np(v: "torch.Tensor") -> np.ndarray:
-        # bf16 -> fp32 is exact; the final cast back to bf16 in _to_jnp round-trips
-        return v.float().numpy() if v.dtype == torch.bfloat16 else v.numpy()
 
-    for path in files:
-        if path.endswith(".safetensors"):
-            from safetensors import safe_open
+class _TensorIndex:
+    """key → lazy slice-reader over a set of safetensors/.bin files.
 
-            with safe_open(path, framework="pt") as f:
+    Readers return numpy chunks in the source dtype (bf16 stays bf16 via ml_dtypes);
+    only the requested ranges are read from disk (safetensors get_slice / torch mmap).
+    """
+
+    def __init__(self, files: list[str]):
+        self._safetensors = {}  # key -> safe_open handle
+        self._torch = {}  # key -> mmap'd torch tensor
+        self.shapes: dict[str, tuple[int, ...]] = {}
+        for path in files:
+            if path.endswith(".safetensors"):
+                from safetensors import safe_open
+
+                f = safe_open(path, framework="numpy")
                 for k in f.keys():
-                    yield k, to_np(f.get_tensor(k))
+                    self._safetensors[k] = f
+                    self.shapes[k] = tuple(f.get_slice(k).get_shape())
+            else:
+                import torch
+
+                sd = torch.load(path, map_location="cpu", weights_only=True, mmap=True)
+                for k, v in sd.items():
+                    self._torch[k] = v
+                    self.shapes[k] = tuple(v.shape)
+
+    def keys(self):
+        return list(self.shapes)
+
+    def read(self, key: str, idx: tuple[slice, ...]) -> np.ndarray:
+        if key in self._safetensors:
+            chunk = self._safetensors[key].get_slice(key)[idx]
         else:
-            sd = torch.load(path, map_location="cpu", weights_only=True, mmap=True)
-            for k, v in sd.items():
-                yield k, to_np(v)
+            import torch
+
+            t = self._torch[key][idx]
+            if t.dtype == torch.bfloat16:
+                import ml_dtypes
+
+                chunk = t.contiguous().view(torch.uint16).numpy().view(ml_dtypes.bfloat16)
+            else:
+                chunk = t.numpy()
+        LOAD_STATS["chunk_bytes"] += chunk.nbytes
+        LOAD_STATS["max_chunk_bytes"] = max(LOAD_STATS["max_chunk_bytes"], chunk.nbytes)
+        LOAD_STATS["n_chunks"] += 1
+        return chunk
 
 
 _LAYER_RE = re.compile(r"^model\.layers\.(\d+)\.(.+)$")
@@ -125,49 +170,116 @@ _TOP_MAP = {
 }
 
 
-def _to_jnp(arr, dtype):
-    # numpy may hand us ml_dtypes bfloat16 arrays from safetensors — jnp handles them
-    return jnp.asarray(arr).astype(dtype)
+def _norm_idx(index, shape: tuple[int, ...]) -> tuple[slice, ...]:
+    """Normalize a jax shard Index (tuple of slices, possibly open-ended) to concrete
+    start:stop slices over ``shape``."""
+    out = []
+    for sl, n in zip(index, shape):
+        start = 0 if sl.start is None else sl.start
+        stop = n if sl.stop is None else sl.stop
+        assert sl.step in (None, 1), "sharded leaves are contiguous-sliced"
+        out.append(slice(start, stop))
+    return tuple(out)
 
 
-def load_llama(model_id_or_path: str, dtype=jnp.bfloat16, **config_overrides):
-    """Returns (params, config). config_overrides ≡ Llama.from_hf(**kwargs)."""
+def _make_leaf(shape, dtype, sharding, read_target):
+    """Build one device array; read_target(norm_idx) -> np chunk for that target slice."""
+
+    def cb(dev_index):
+        idx = _norm_idx(dev_index, shape)
+        return np.ascontiguousarray(read_target(idx)).astype(dtype, copy=False)
+
+    return jax.make_array_from_callback(tuple(shape), sharding, cb)
+
+
+def _transposed_reader(index: _TensorIndex, key: str):
+    """Target is source.T (2D): target idx (rows, cols) reads source (cols, rows)."""
+
+    def read(idx):
+        r, c = idx
+        return index.read(key, (c, r)).T
+
+    return read
+
+
+def _stacked_reader(index: _TensorIndex, keys_by_layer: list[str], transpose: bool):
+    """Target [L, ...]: idx[0] selects layers, read each layer's slice and stack."""
+
+    def read(idx):
+        lsl, *rest = idx
+        chunks = []
+        for layer in range(lsl.start, lsl.stop):
+            if transpose:
+                r, c = rest
+                chunks.append(index.read(keys_by_layer[layer], (c, r)).T)
+            else:
+                chunks.append(index.read(keys_by_layer[layer], tuple(rest)))
+        return np.stack(chunks)
+
+    return read
+
+
+def load_llama(model_id_or_path: str, dtype=jnp.bfloat16, mesh=None, **config_overrides):
+    """Returns (params, config). config_overrides ≡ Llama.from_hf(**kwargs).
+
+    mesh: optional jax.sharding.Mesh — leaves are placed onto their
+    parallel/sharding.py PartitionSpecs as they stream in (each host reads only its
+    addressable shards). Without a mesh, leaves land on the default device whole.
+    """
     config = load_hf_config(model_id_or_path, **config_overrides)
-    files = _list_weight_files(model_id_or_path)
+    index = _TensorIndex(_list_weight_files(model_id_or_path))
+    np_dtype = jnp.dtype(dtype)
 
-    per_layer: dict[tuple, dict[int, np.ndarray]] = {}
-    top: dict[tuple, np.ndarray] = {}
-    for key, arr in _iter_hf_tensors(files):
+    # plan: target leaf path -> (shape, reader)
+    per_layer: dict[tuple, dict[int, str]] = {}  # tree path -> {layer: hf key}
+    top: dict[tuple, str] = {}
+    for key in index.keys():
         m = _LAYER_RE.match(key)
         if m:
-            idx = int(m.group(1))
-            path, transpose = _LAYER_MAP[m.group(2)]
-            per_layer.setdefault(path, {})[idx] = arr.T if transpose else arr
+            path, _ = _LAYER_MAP[m.group(2)]
+            per_layer.setdefault(path, {})[int(m.group(1))] = key
         else:
-            path, transpose = _TOP_MAP[key]
-            top[path] = arr.T if transpose else arr
+            top[_TOP_MAP[key][0]] = key
 
-    def set_path(tree, path, value):
-        node = tree
-        for k in path[:-1]:
-            node = node.setdefault(k, {})
-        node[path[-1]] = value
-
-    params: dict = {"layers": {}}
-    for path, value in top.items():
-        set_path(params, path, _to_jnp(value, dtype))
+    plan: dict[tuple, tuple[tuple[int, ...], object]] = {}
+    for path, key in top.items():
+        transpose = _TOP_MAP[key][1]
+        shape = index.shapes[key]
+        if transpose:
+            plan[path] = (shape[::-1], _transposed_reader(index, key))
+        else:
+            plan[path] = (shape, lambda idx, k=key: index.read(k, idx))
     for path, by_idx in per_layer.items():
         assert len(by_idx) == config.num_layers, (path, len(by_idx), config.num_layers)
-        stacked = np.stack([by_idx[i] for i in range(config.num_layers)])
-        set_path(params["layers"], path, _to_jnp(stacked, dtype))
+        keys_by_layer = [by_idx[i] for i in range(config.num_layers)]
+        transpose = _LAYER_MAP[keys_by_layer[0].split(".", 3)[-1]][1]
+        shape = index.shapes[keys_by_layer[0]]
+        tgt = (config.num_layers, *(shape[::-1] if transpose else shape))
+        plan[("layers", *path)] = (tgt, _stacked_reader(index, keys_by_layer, transpose))
 
     # tied-embedding models (Llama-3.2 style) ship no lm_head; with
     # config.tied_embeddings the head reads the embedding matrix directly (one shared
     # weight, shared gradient) so nothing to materialize. If the config did NOT declare
-    # tying but lm_head is absent, fall back to an explicit transposed copy.
-    if ("output", "kernel") not in top and not config.tied_embeddings:
-        params["output"] = {"kernel": params["tok_embeddings"]["weight"].T}
+    # tying but lm_head is absent, stream an explicit transposed copy of the embedding.
+    if ("output", "kernel") not in plan and not config.tied_embeddings:
+        key = top[("tok_embeddings", "weight")]
+        plan[("output", "kernel")] = (index.shapes[key][::-1], _transposed_reader(index, key))
     if config.tied_embeddings:
-        params.pop("output", None)  # some checkpoints ship a redundant lm_head copy
+        plan.pop(("output", "kernel"), None)  # some checkpoints ship a redundant copy
+
+    def sharding_for(path: tuple, ndim: int):
+        if mesh is None:
+            return jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        from llama_x_tpu.parallel.sharding import _spec_for
+
+        return jax.sharding.NamedSharding(mesh, _spec_for("/".join(path), ndim))
+
+    params: dict = {}
+    for path, (shape, reader) in plan.items():
+        leaf = _make_leaf(shape, np_dtype, sharding_for(path, len(shape)), reader)
+        node = params
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = leaf
 
     return params, config

@@ -121,9 +121,12 @@ def prefetch(it, depth: int = 2):
         yield item
 
 
-def build_model_params(args, model_cls, **extra_config):
+def build_model_params(args, model_cls, mesh=None, **extra_config):
     """from_hf (or tiny synthetic init) → freeze → quantize → adapt
-    (composition order ≡ train_metamathqa.py:172-186)."""
+    (composition order ≡ train_metamathqa.py:172-186).
+
+    With ``mesh``, HF weights stream straight onto their mesh shardings as they load
+    (models/hf.py) — no replicated whole-model stopover."""
     from llama_x_tpu.models import llama as llama_mod
 
     config_overrides = dict(
@@ -141,7 +144,7 @@ def build_model_params(args, model_cls, **extra_config):
         ).replace(**{k: v for k, v in config_overrides.items() if k != "max_seq_len"})
         model = model_cls.init(jax.random.PRNGKey(args.seed), config, dtype=jnp.bfloat16)
     else:
-        model = model_cls.from_hf(args.model, dtype=jnp.bfloat16, **config_overrides)
+        model = model_cls.from_hf(args.model, dtype=jnp.bfloat16, mesh=mesh, **config_overrides)
 
     params, config = model.params, model.config
 
@@ -164,8 +167,13 @@ def build_model_params(args, model_cls, **extra_config):
     return model, params, config, mask
 
 
-def setup_mesh_and_optimizer(args, params):
-    mesh = make_mesh(**args.mesh) if args.mesh else make_mesh(dp=len(jax.devices()))
+def setup_mesh(args):
+    return make_mesh(**args.mesh) if args.mesh else make_mesh(dp=len(jax.devices()))
+
+
+def setup_mesh_and_optimizer(args, params, mesh=None):
+    mesh = mesh if mesh is not None else setup_mesh(args)
+    # idempotent for leaves from_hf already placed; places the quantize/adapter leaves
     params = shard_params(params, mesh)
     schedule = trapezoid_schedule(args.lr, args.n_steps, args.warmup, args.decay)
     tx = get_optimizer(args.optim, schedule, args.weight_decay, args.clip_grad_norm)

@@ -67,8 +67,11 @@ def main():
     audio_config = AudioConfig()
     # 40 s ⇒ 2000 audio tokens + ≤2096 text tokens ⇒ max_seq_len 4096
     # (≡ train_librispeech.py:166-170)
-    model, params, config, mask = build_model_params(args, LlamaAudio, max_seq_len=4096)
-    mesh, params, tx, schedule = setup_mesh_and_optimizer(args, params)
+    from llama_x_tpu.train.cli import setup_mesh
+
+    mesh = setup_mesh(args)
+    model, params, config, mask = build_model_params(args, LlamaAudio, mesh=mesh, max_seq_len=4096)
+    mesh, params, tx, schedule = setup_mesh_and_optimizer(args, params, mesh)
 
     micro_bs = args.batch_size // args.gradient_accumulation
     if args.synthetic:

@@ -46,10 +46,13 @@ def main():
     if args.profile:
         args.n_steps = min(args.n_steps, 10)
 
+    from llama_x_tpu.train.cli import setup_mesh
+
+    mesh = setup_mesh(args)
     model, params, config, mask = build_model_params(
-        args, llama.Llama, max_seq_len=args.max_seq_len
+        args, llama.Llama, mesh=mesh, max_seq_len=args.max_seq_len
     )
-    mesh, params, tx, schedule = setup_mesh_and_optimizer(args, params)
+    mesh, params, tx, schedule = setup_mesh_and_optimizer(args, params, mesh)
 
     micro_bs = args.batch_size // args.gradient_accumulation
     if args.synthetic:
