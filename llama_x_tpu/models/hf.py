@@ -272,7 +272,8 @@ def load_llama(model_id_or_path: str, dtype=jnp.bfloat16, mesh=None, **config_ov
             return jax.sharding.SingleDeviceSharding(jax.devices()[0])
         from llama_x_tpu.parallel.sharding import _spec_for
 
-        return jax.sharding.NamedSharding(mesh, _spec_for("/".join(path), ndim))
+        pp = "pp" in mesh.shape and mesh.shape["pp"] > 1
+        return jax.sharding.NamedSharding(mesh, _spec_for("/".join(path), ndim, pp=pp))
 
     params: dict = {}
     for path, (shape, reader) in plan.items():

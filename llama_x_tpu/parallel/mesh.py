@@ -6,6 +6,8 @@ TPU-native: one ``jax.sharding.Mesh`` with axes
 
   dp    pure data parallelism (batch sharding only)
   fsdp  data parallelism + ZeRO-3-style parameter/optimizer sharding
+  pp    pipeline parallelism (layer stages, parallel/pipeline.py)
+  cp    context parallelism (ring attention, ops/ring_attention.py)
   tp    tensor parallelism (Megatron-style head/ffn sharding)
 
 Shardings are declared per-leaf (parallel/sharding.py) and XLA GSPMD inserts the
@@ -19,35 +21,36 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-AXES = ("dp", "fsdp", "cp", "tp")
+AXES = ("dp", "fsdp", "pp", "cp", "tp")
 
 
 def make_mesh(
     dp: int | None = None,
     fsdp: int | None = None,
+    pp: int = 1,
     cp: int = 1,
     tp: int = 1,
     devices=None,
 ) -> Mesh:
-    """Build a (dp, fsdp, cp, tp) mesh over the available devices.
+    """Build a (dp, fsdp, pp, cp, tp) mesh over the available devices.
 
-    Unspecified axes are inferred: tp/cp default to 1, fsdp absorbs the remaining
+    Unspecified axes are inferred: tp/cp/pp default to 1, fsdp absorbs the remaining
     devices unless dp is given explicitly. Axis order puts tp innermost
     (fastest-varying → adjacent devices → highest-bandwidth ICI neighbors carry the most
     chatty collective), then cp (ring attention's KV rotation rides neighbor links),
-    then fsdp, then dp outermost (its collective is one grad reduce per step, the least
-    latency-sensitive).
+    then pp (stage-to-stage ppermute once per tick), then fsdp, then dp outermost (its
+    collective is one grad reduce per step, the least latency-sensitive).
     """
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
     if dp is None and fsdp is None:
-        dp, fsdp = 1, n // (cp * tp)
+        dp, fsdp = 1, n // (pp * cp * tp)
     elif dp is None:
-        dp = n // (fsdp * cp * tp)
+        dp = n // (fsdp * pp * cp * tp)
     elif fsdp is None:
-        fsdp = n // (dp * cp * tp)
-    assert dp * fsdp * cp * tp == n, f"mesh {dp}x{fsdp}x{cp}x{tp} != {n} devices"
-    return Mesh(devices.reshape(dp, fsdp, cp, tp), AXES)
+        fsdp = n // (dp * pp * cp * tp)
+    assert dp * fsdp * pp * cp * tp == n, f"mesh {dp}x{fsdp}x{pp}x{cp}x{tp} != {n} devices"
+    return Mesh(devices.reshape(dp, fsdp, pp, cp, tp), AXES)
 
 
 # ---------------------------------------------------------------------------

@@ -48,27 +48,33 @@ _RULES: list[tuple[str, P]] = [
 ]
 
 
-def _spec_for(name: str, ndim: int) -> P:
+def _spec_for(name: str, ndim: int, pp: bool = False) -> P:
+    """pp=True: the stacked layer (leading) axis of layers/ leaves is sharded over the
+    "pp" mesh axis — stage s holds layers [s·L/P, (s+1)·L/P), matching
+    parallel/pipeline.py's layer_spec so pipeline_loss starts from aligned placement."""
+    layer_axis = "pp" if (pp and name.startswith("layers/")) else None
     for pattern, spec in _RULES:
         if re.search(pattern, name):
             extra = ndim - len(spec)
-            if extra > 0:  # stacked layer axis (or other leading axes): replicate them
-                spec = P(*([None] * extra), *spec)
+            if extra > 0:  # stacked layer axis (+ any other leading axes)
+                spec = P(layer_axis, *([None] * (extra - 1)), *spec)
             return spec
+    if pp and name.startswith("layers/") and ndim > 0:
+        return P(layer_axis)  # stacked norms etc.
     return P()  # replicate (norms, biases, lora_scale, audio stem, scalars)
 
 
-def param_specs(params) -> dict:
+def param_specs(params, pp: bool = False) -> dict:
     """Tree of PartitionSpec matching the params tree."""
     flat, treedef = jax.tree_util.tree_flatten(params)
     names = [n for n, _ in named_leaves(params)]
-    specs = [_spec_for(n, getattr(l, "ndim", 0)) for n, l in zip(names, flat)]
+    specs = [_spec_for(n, getattr(l, "ndim", 0), pp=pp) for n, l in zip(names, flat)]
     return jax.tree_util.tree_unflatten(treedef, specs)
 
 
 def shard_params(params, mesh: Mesh):
     """Place the param tree on the mesh according to the rules."""
-    specs = param_specs(params)
+    specs = param_specs(params, pp="pp" in mesh.shape and mesh.shape["pp"] > 1)
     return jax.tree.map(lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
 
 

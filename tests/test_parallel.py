@@ -48,9 +48,11 @@ def test_make_mesh_inference():
     m = make_mesh()
     assert m.devices.size == len(jax.devices())
     m2 = make_mesh(dp=2, fsdp=2, tp=2)
-    assert m2.shape == {"dp": 2, "fsdp": 2, "cp": 1, "tp": 2}
+    assert m2.shape == {"dp": 2, "fsdp": 2, "pp": 1, "cp": 1, "tp": 2}
     m3 = make_mesh(dp=2, cp=2, tp=2)
-    assert m3.shape == {"dp": 2, "fsdp": 1, "cp": 2, "tp": 2}
+    assert m3.shape == {"dp": 2, "fsdp": 1, "pp": 1, "cp": 2, "tp": 2}
+    m4 = make_mesh(pp=4)
+    assert m4.shape["pp"] == 4 and m4.shape["fsdp"] == 2
     with pytest.raises(AssertionError):
         make_mesh(dp=3, fsdp=1, tp=1)
 

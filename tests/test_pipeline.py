@@ -77,3 +77,47 @@ def test_pipeline_composes_with_dp():
     want = float(llama.forward(params, config, tokens, labels=labels))
     got = float(pipeline_loss(params, config, tokens, labels, mesh, 2))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_pp_trainer_step_matches_dp(tmp_path):
+    """Trainer-level PP (VERDICT r1 next-step #3): make_train_step with a pipeline_loss
+    loss_fn on a dp=2 x pp=4 make_mesh, params placed by shard_params (pp layer
+    sharding), optimizer + accumulation wired — per-step loss and updated params match
+    the plain single-mesh dp step."""
+    import optax
+
+    from llama_x_tpu.parallel import make_mesh, shard_params
+    from llama_x_tpu.train.trainer import init_train_state, make_train_step
+    from llama_x_tpu.utils.tree import named_leaves, path_mask
+
+    config, params, tokens, labels = _setup(num_layers=4, B=4, S=32)
+    mesh = make_mesh(dp=2, pp=4)
+    assert mesh.shape["pp"] == 4
+    tx = optax.adamw(1e-3)
+    mask = path_mask(params, lambda n, l: True)
+    batch = {
+        "inputs": jnp.asarray(tokens)[None],  # [accum=1, B, S]
+        "labels": jnp.asarray(labels)[None],
+    }
+
+    def pp_loss_fn(p, mb):
+        from llama_x_tpu.parallel.pipeline import pipeline_loss
+
+        return pipeline_loss(p, config, mb["inputs"], mb["labels"], mesh, 2), jnp.sum(mb["labels"] != -100)
+
+    def dp_loss_fn(p, mb):
+        return llama.forward(p, config, mb["inputs"], labels=mb["labels"]), jnp.sum(mb["labels"] != -100)
+
+    state_pp = init_train_state(shard_params(params, mesh), mask, tx)
+    state_dp = init_train_state(params, mask, tx)
+    step_pp = jax.jit(make_train_step(pp_loss_fn, tx))
+    step_dp = jax.jit(make_train_step(dp_loss_fn, tx))
+
+    for i in range(3):
+        state_pp, m_pp = step_pp(state_pp, batch)
+        state_dp, m_dp = step_dp(state_dp, batch)
+        np.testing.assert_allclose(float(m_pp["loss"]), float(m_dp["loss"]), rtol=1e-5)
+        assert int(m_pp["n_tokens"]) == int(m_dp["n_tokens"])
+
+    for (n, a), (_, b) in zip(named_leaves(state_pp["trainable"]), named_leaves(state_dp["trainable"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6, err_msg=n)

@@ -40,6 +40,10 @@ def main():
     parser.add_argument("--document_mask", action="store_true")
     parser.add_argument("--max_seq_len", type=int, default=1024)
     parser.add_argument("--seq_len_multiple", type=int, default=256)
+    parser.add_argument(
+        "--pp_microbatches", type=int, default=0,
+        help="GPipe microbatches per step when the mesh has a pp axis (0 = pp size)",
+    )
     args = parser.parse_args()
 
     assert args.batch_size % args.gradient_accumulation == 0
@@ -72,11 +76,39 @@ def main():
         )
     print(f"Training dataset size: {train_size:,}")
 
-    def loss_fn(p, mb):
-        loss = llama.forward(
-            p, config, mb["inputs"], segment_ids=mb.get("segment_ids"), labels=mb["labels"]
+    pp = mesh.shape.get("pp", 1)
+    if pp > 1:
+        # pipeline parallelism: the loss is GPipe-scheduled over the pp mesh axis
+        # (parallel/pipeline.py) — to the trainer it is just another loss_fn, so
+        # accumulation/clip/optimizer/donation all come from the same make_train_step
+        from llama_x_tpu.parallel.pipeline import pipeline_loss
+
+        import math
+
+        dp_size = mesh.shape.get("dp", 1) * mesh.shape.get("fsdp", 1)
+        local_bs = micro_bs // dp_size
+        n_micro = args.pp_microbatches or (pp if local_bs % pp == 0 else math.gcd(local_bs, pp))
+        assert local_bs % n_micro == 0, (
+            f"local batch {local_bs} (batch {micro_bs} / data-parallel {dp_size}) must "
+            f"divide into --pp_microbatches {n_micro}"
         )
-        return loss, jnp.sum(mb["labels"] != -100)
+        if n_micro < pp:
+            print(f"warning: {n_micro} pipeline microbatches < {pp} stages — large bubble")
+
+        def loss_fn(p, mb):
+            loss = pipeline_loss(
+                p, config, mb["inputs"], mb["labels"], mesh, n_micro,
+                segment_ids=mb.get("segment_ids"),
+            )
+            return loss, jnp.sum(mb["labels"] != -100)
+
+    else:
+
+        def loss_fn(p, mb):
+            loss = llama.forward(
+                p, config, mb["inputs"], segment_ids=mb.get("segment_ids"), labels=mb["labels"]
+            )
+            return loss, jnp.sum(mb["labels"] != -100)
 
     state = init_train_state(params, mask, tx)
     train_step = jax.jit(make_train_step(loss_fn, tx, skip_nonfinite=args.skip_nonfinite), donate_argnums=(0,))
