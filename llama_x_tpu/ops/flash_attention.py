@@ -47,6 +47,18 @@ _LANES = 128
 INTERPRET = False
 
 
+def _struct(shape, dtype, like):
+    """ShapeDtypeStruct carrying the caller's varying-manual-axes set — required when
+    the kernel runs inside shard_map (ring attention), harmless outside."""
+    try:
+        vma = jax.typeof(like).vma
+    except Exception:
+        vma = None
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 def _build_mask(q_start, kv_start, bq, bk, *, causal, qseg, kseg, prefix):
     """MaskInfo semantics as a [bq, bk] bool tile (must mirror
     ops/attention.py:make_attention_mask exactly: (causal & same_seg) | in_prefix).
@@ -96,12 +108,13 @@ def _needed(q_start, kv_start, bq, bk, *, causal, prefix):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(*refs, scale, causal, has_seg, has_prefix, bq, bk, group):
+def _fwd_kernel(*refs, scale, causal, has_seg, has_prefix, has_offsets, bq, bk, group):
     it = iter(refs)
     q_ref, k_ref, v_ref = next(it), next(it), next(it)
     qseg_ref = next(it) if has_seg else None
     kseg_ref = next(it) if has_seg else None
     prefix_ref = next(it) if has_prefix else None
+    offs_ref = next(it) if has_offsets else None
     out_ref, lse_ref = next(it), next(it)
     acc_ref, m_ref, l_ref = next(it), next(it), next(it)
 
@@ -116,8 +129,11 @@ def _fwd_kernel(*refs, scale, causal, has_seg, has_prefix, bq, bk, group):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     i = pl.program_id(2)
-    q_start = i * bq
-    kv_start = j * bk
+    # dynamic global-position offsets (ring attention: q lives at shard_start, the kv
+    # block at the rotating source shard's start) — SMEM scalars, so the causal
+    # whole-block skip stays a cheap traced predicate
+    q_start = i * bq + (offs_ref[0, 0] if has_offsets else 0)
+    kv_start = j * bk + (offs_ref[0, 1] if has_offsets else 0)
     prefix = prefix_ref[pl.program_id(0), 0] if has_prefix else None
 
     def compute():
@@ -164,16 +180,19 @@ def _fwd_kernel(*refs, scale, causal, has_seg, has_prefix, bq, bk, group):
         lse_ref[0, 0] = lse.reshape(group, bq, 1)
 
 
-def _fwd(q, k, v, qseg, kseg, prefix, *, scale, causal, bq, bk):
-    """q [B,Hq,Sq,D]; k,v [B,Hkv,Skv,D]; qseg [B,Sq,1]; kseg [B,1,Skv]; prefix [B,1].
+def _fwd(q, k, v, qseg, kseg, prefix, *, scale, causal, bq, bk, offsets=None):
+    """q [B,Hq,Sq,D]; k,v [B,Hkv,Skv,D]; qseg [B,Sq,1]; kseg [B,1,Skv]; prefix [B,1];
+    offsets [1,2] int32 = (q_offset, kv_offset) global-position shifts (ring attention).
 
-    Returns out [B,Hq,Sq,D], lse [B,Hq,Sq,1] fp32.
+    Returns out [B,Hq,Sq,D], lse [B,Hq,Sq,1] fp32 (normalized partial + logsumexp —
+    mergeable across kv chunks in lse space).
     """
     B, Hq, Sq, D = q.shape
     _, Hkv, Skv, _ = k.shape
     group = Hq // Hkv
     nq, nk = Sq // bq, Skv // bk
     has_seg, has_prefix = qseg is not None, prefix is not None
+    has_offsets = offsets is not None
 
     # q is viewed [B, Hkv, group, Sq, D]: one grid cell processes a kv head's whole GQA
     # group — K/V stream once per group (not once per q head) and the mask tile is
@@ -194,10 +213,13 @@ def _fwd(q, k, v, qseg, kseg, prefix, *, scale, causal, bq, bk):
     if has_prefix:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # whole [B, 1] array
         operands.append(prefix)
+    if has_offsets:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # [1, 2] (q_off, kv_off)
+        operands.append(offsets)
 
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, has_seg=has_seg, has_prefix=has_prefix,
-        bq=bq, bk=bk, group=group,
+        has_offsets=has_offsets, bq=bq, bk=bk, group=group,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -208,8 +230,8 @@ def _fwd(q, k, v, qseg, kseg, prefix, *, scale, causal, bq, bk):
             pl.BlockSpec((1, 1, group, bq, 1), lambda b, h, i, j: (b, h, 0, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, Hkv, group, Sq, D), q.dtype),
-            jax.ShapeDtypeStruct((B, Hkv, group, Sq, 1), jnp.float32),
+            _struct((B, Hkv, group, Sq, D), q.dtype, q),
+            _struct((B, Hkv, group, Sq, 1), jnp.float32, q),
         ],
         scratch_shapes=[
             pltpu.VMEM((group * bq, D), jnp.float32),
@@ -234,12 +256,13 @@ def _fwd(q, k, v, qseg, kseg, prefix, *, scale, causal, bq, bk):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dkv_kernel(*refs, scale, causal, has_seg, has_prefix, bq, bk, group, fused_dq):
+def _bwd_dkv_kernel(*refs, scale, causal, has_seg, has_prefix, has_offsets, bq, bk, group, fused_dq):
     it = iter(refs)
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (next(it) for _ in range(6))
     qseg_ref = next(it) if has_seg else None
     kseg_ref = next(it) if has_seg else None
     prefix_ref = next(it) if has_prefix else None
+    offs_ref = next(it) if has_offsets else None
     dk_ref, dv_ref = next(it), next(it)
     dqp_ref = next(it) if fused_dq else None
     dk_acc, dv_acc = next(it), next(it)
@@ -254,7 +277,8 @@ def _bwd_dkv_kernel(*refs, scale, causal, has_seg, has_prefix, bq, bk, group, fu
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
     j = pl.program_id(2)
-    q_start, kv_start = i * bq, j * bk
+    q_start = i * bq + (offs_ref[0, 0] if has_offsets else 0)
+    kv_start = j * bk + (offs_ref[0, 1] if has_offsets else 0)
     prefix = prefix_ref[pl.program_id(0), 0] if has_prefix else None
 
     def compute():
@@ -305,15 +329,21 @@ def _bwd_dkv_kernel(*refs, scale, causal, has_seg, has_prefix, bq, bk, group, fu
         dv_ref[0, 0] = dv_acc[:]
 
 
-def _bwd(q, k, v, qseg, kseg, prefix, out, lse, do, *, scale, causal, bq, bk):
+def _bwd(q, k, v, qseg, kseg, prefix, out, lse, do, *, scale, causal, bq, bk,
+         offsets=None, delta=None, cast=True):
+    """offsets/delta/cast: external-caller knobs for ring attention — position shifts,
+    a precomputed delta (vs the FINAL merged out/lse), and fp32 outputs for cross-block
+    accumulation."""
     B, Hq, Sq, D = q.shape
     _, Hkv, Skv, _ = k.shape
     group = Hq // Hkv
     nq, nk = Sq // bq, Skv // bk
     has_seg, has_prefix = qseg is not None, prefix is not None
+    has_offsets = offsets is not None
 
-    # delta = rowsum(dO * O), carried with trailing singleton: [B, Hq, Sq, 1]
-    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True)
+    if delta is None:
+        # delta = rowsum(dO * O), carried with trailing singleton: [B, Hq, Sq, 1]
+        delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True)
 
     # q-side arrays viewed [B, Hkv, group, ...] so one grid cell handles a kv head's
     # whole GQA group: K/V stream once per group, the mask tile is shared, and dk/dv
@@ -341,6 +371,8 @@ def _bwd(q, k, v, qseg, kseg, prefix, out, lse, do, *, scale, causal, bq, bk):
             specs += [pl.BlockSpec((1, bq, 1), qsmap), pl.BlockSpec((1, 1, bk), ksmap)]
         if has_prefix:
             specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # whole [B, 1] array
+        if has_offsets:
+            specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # [1, 2]
         return specs
 
     operands = [q5, k, v, do5, lse5, delta5]
@@ -348,6 +380,8 @@ def _bwd(q, k, v, qseg, kseg, prefix, out, lse, do, *, scale, causal, bq, bk):
         operands += [qseg, kseg]
     if has_prefix:
         operands.append(prefix)
+    if has_offsets:
+        operands.append(offsets)
 
     # One fused kernel computes dk, dv AND per-kv-block dq partials — running a separate
     # dq kernel would recompute the s/p/dp matmuls a second time (measured ~35% of the
@@ -355,7 +389,7 @@ def _bwd(q, k, v, qseg, kseg, prefix, out, lse, do, *, scale, causal, bq, bk):
     # reduction, which is far cheaper than the recompute.
     static = dict(
         scale=scale, causal=causal, has_seg=has_seg, has_prefix=has_prefix,
-        bq=bq, bk=bk, group=group, fused_dq=True,
+        has_offsets=has_offsets, bq=bq, bk=bk, group=group, fused_dq=True,
     )
 
     dk, dv, dq_partials = pl.pallas_call(
@@ -368,9 +402,9 @@ def _bwd(q, k, v, qseg, kseg, prefix, out, lse, do, *, scale, causal, bq, bk):
             pl.BlockSpec((1, 1, 1, group, bq, D), lambda b, h, j, i: (b, h, j, 0, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, Hkv, Skv, D), jnp.float32),
-            jax.ShapeDtypeStruct((B, Hkv, Skv, D), jnp.float32),
-            jax.ShapeDtypeStruct((B, Hkv, nk, group, Sq, D), jnp.float32),
+            _struct((B, Hkv, Skv, D), jnp.float32, q),
+            _struct((B, Hkv, Skv, D), jnp.float32, q),
+            _struct((B, Hkv, nk, group, Sq, D), jnp.float32, q),
         ],
         scratch_shapes=[pltpu.VMEM((bk, D), jnp.float32), pltpu.VMEM((bk, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -385,6 +419,8 @@ def _bwd(q, k, v, qseg, kseg, prefix, out, lse, do, *, scale, causal, bq, bk):
     )(*operands)
 
     dq = dq_partials.sum(axis=2).reshape(B, Hq, Sq, D)
+    if not cast:
+        return dq, dk, dv  # fp32 — ring attention accumulates across kv blocks
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from llama_x_tpu.ops.attention import MaskInfo
-from llama_x_tpu.ops.ring_attention import ring_attention
+from llama_x_tpu.ops.ring_attention import ring_attention, ring_flash_supported
 
 
 def context_parallel_attention(
@@ -25,6 +25,7 @@ def context_parallel_attention(
     mask_info: MaskInfo | None = None,
     scale: float | None = None,
     axis_name: str = "cp",
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """q [B, S, Hq, D]; k, v [B, S, Hkv, D]; S must divide by mesh.shape[axis_name].
 
@@ -55,14 +56,19 @@ def context_parallel_attention(
             segment_ids=seg if mi.segment_ids is not None else None,
             prefix_len=prefix if mi.prefix_len is not None else None,
         )
-        return ring_attention(q, k, v, lmi, scale, axis_name=axis_name)
+        return ring_attention(q, k, v, lmi, scale, axis_name=axis_name, impl=impl)
 
     seg = mi.segment_ids if mi.segment_ids is not None else jnp.zeros(q.shape[:2], jnp.int32)
     prefix = mi.prefix_len if mi.prefix_len is not None else jnp.zeros((q.shape[0],), jnp.int32)
+
+    # the Pallas-blocked ring needs check_vma=False (custom_vjp inside shard_map +
+    # interpreter vma gaps); the plain-jnp ring keeps full vma checking
+    use_flash = ring_flash_supported(S // n, q.shape[3], q.shape[2], k.shape[2], mi, impl)
 
     return jax.shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(seq_spec, seq_spec, seq_spec, seg_spec, prefix_spec),
         out_specs=seq_spec,
+        check_vma=not use_flash,
     )(q, k, v, seg, prefix)
