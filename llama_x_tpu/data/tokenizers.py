@@ -1,9 +1,9 @@
 """Tokenizer registry (≡ llama_tokenizers.py).
 
 - llama2: SentencePiece model from meta-llama/Llama-2-7b-chat-hf, bos=1 eos=2 pad=0
-  (llama_tokenizers.py:14-27). Gated: sentencepiece isn't installed in this image, so
-  construction raises a clear error unless a local model path is provided AND
-  sentencepiece is importable.
+  (llama_tokenizers.py:14-27), read by the VENDORED pure-Python reader
+  (data/sentencepiece.py) — works without the sentencepiece package; needs the
+  tokenizer.model file (local --tokenizer_path, or hub when network allows).
 - llama3: tiktoken BPE from Meta-Llama-3.1-8B-Instruct original/tokenizer.model with the
   Llama-3 split regex, bos=128000 eos=128001 pad=128004 (llama_tokenizers.py:31-61).
   Gated on the model file being reachable (hub download needs network).
@@ -48,29 +48,44 @@ class ByteTokenizer:
 
 
 class Llama2Tokenizer:
+    """SentencePiece-backed tokenizer via the vendored pure-Python reader
+    (data/sentencepiece.py) — no sentencepiece package needed. Reads the standard
+    tokenizer.model protobuf (BPE or unigram) with byte fallback."""
+
     bos_id = 1
     eos_id = 2
     pad_id = 0
 
     def __init__(self, model_path: str | None = None):
-        try:
-            import sentencepiece as spm
-        except ImportError as e:
-            raise RuntimeError(
-                "llama2 tokenizer needs the sentencepiece package (not in this image); "
-                "use tokenizer='llama3' or 'byte'"
-            ) from e
-        if model_path is None:
-            from huggingface_hub import hf_hub_download
+        from llama_x_tpu.data.sentencepiece import SentencePieceModel
 
-            model_path = hf_hub_download("meta-llama/Llama-2-7b-chat-hf", "tokenizer.model")
-        self.sp = spm.SentencePieceProcessor(model_path)
+        if model_path is None:
+            try:
+                from huggingface_hub import hf_hub_download
+
+                model_path = hf_hub_download("meta-llama/Llama-2-7b-chat-hf", "tokenizer.model")
+            except Exception as e:
+                raise RuntimeError(
+                    "llama2 tokenizer: no --tokenizer_path given and the hub download "
+                    "failed (offline or gated repo). Download tokenizer.model from "
+                    "meta-llama/Llama-2-7b-chat-hf and pass --tokenizer_path; or use "
+                    "--tokenizer llama3/byte."
+                ) from e
+        self.sp = SentencePieceModel.from_file(model_path)
+        self.vocab_size = len(self.sp)
 
     def __call__(self, text: str, add_bos: bool = False, add_eos: bool = False) -> list[int]:
-        return self.sp.Encode(text, add_bos=add_bos, add_eos=add_eos)
+        tokens = self.sp.encode(text)
+        if add_bos:
+            tokens.insert(0, self.bos_id)
+        if add_eos:
+            tokens.append(self.eos_id)
+        return tokens
 
     def decode(self, tokens: list[int]) -> str:
-        return self.sp.Decode(tokens)
+        # control pieces (bos/eos) are skipped by the reader; pad==unk id 0 renders as
+        # its piece text, matching callers that strip pads before decoding
+        return self.sp.decode(tokens)
 
 
 # the Llama-3 pretokenizer split pattern (public, from the Llama 3 release)
