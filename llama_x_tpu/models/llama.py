@@ -189,7 +189,7 @@ def attention(
             k, v = k_cache, v_cache
 
     use_dropout = config.attn_dropout > 0.0 and dropout_rng is not None
-    use_flash = not use_dropout and (
+    use_flash = (
         config.attn_impl == "flash"
         or (config.attn_impl == "auto" and (cache is None or prefill) and jax.default_backend() == "tpu")
     )
@@ -207,7 +207,11 @@ def attention(
     elif use_flash:
         from llama_x_tpu.ops.flash_attention import flash_attention
 
-        out = flash_attention(q, k, v, mask_info)
+        # dropout runs IN-KERNEL (TPU PRNG) on the flash path (≡ modelling/llama.py:136)
+        out = flash_attention(
+            q, k, v, mask_info,
+            dropout_rate=c.attn_dropout if use_dropout else 0.0, dropout_rng=dropout_rng,
+        )
     else:
         out = dot_product_attention(
             q, k, v, mask_info,

@@ -108,13 +108,49 @@ def _needed(q_start, kv_start, bq, bk, *, causal, prefix):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(*refs, scale, causal, has_seg, has_prefix, has_offsets, bq, bk, group):
+def _fmix32(x):
+    """murmur3 finalizer: full-avalanche 32-bit mix (plain VPU int ops — works
+    identically on TPU hardware and in the CPU interpreter, unlike pltpu.prng_*)."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _keep_for(seed, rate, rows, bk, b, h, i, j):
+    """Deterministic per-block keep-mask, scaled by 1/(1-rate) (inverted dropout).
+
+    Counter-based: bits = fmix32(fmix32(block_key) + element_index), where block_key
+    folds (seed, b, h, i_qblock, j_kvblock). The backward kernel — whose grid visits
+    (j, i) — recomputes the IDENTICAL mask for each (i, j) pair from the same seed;
+    nothing is stored. Pure jnp, so tests can rebuild the exact mask outside the
+    kernel as an oracle."""
+    key = (
+        jnp.uint32(seed)
+        + jnp.uint32(b) * jnp.uint32(0x9E3779B9)
+        + jnp.uint32(h) * jnp.uint32(0x85EBCA6B)
+        + jnp.uint32(i) * jnp.uint32(0xC2B2AE35)
+        + jnp.uint32(j) * jnp.uint32(0x27D4EB2F)
+    )
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, bk), 0).astype(jnp.uint32)
+    c = jax.lax.broadcasted_iota(jnp.int32, (rows, bk), 1).astype(jnp.uint32)
+    bits = _fmix32(_fmix32(key) + r * jnp.uint32(bk) + c)
+    threshold = jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
+    return jnp.where(bits >= threshold, 1.0 / (1.0 - rate), 0.0).astype(jnp.float32)
+
+
+
+
+def _fwd_kernel(*refs, scale, causal, has_seg, has_prefix, has_offsets, dropout_rate, bq, bk, group):
     it = iter(refs)
     q_ref, k_ref, v_ref = next(it), next(it), next(it)
     qseg_ref = next(it) if has_seg else None
     kseg_ref = next(it) if has_seg else None
     prefix_ref = next(it) if has_prefix else None
     offs_ref = next(it) if has_offsets else None
+    seed_ref = next(it) if dropout_rate > 0.0 else None
     out_ref, lse_ref = next(it), next(it)
     acc_ref, m_ref, l_ref = next(it), next(it), next(it)
 
@@ -135,6 +171,12 @@ def _fwd_kernel(*refs, scale, causal, has_seg, has_prefix, has_offsets, bq, bk, 
     q_start = i * bq + (offs_ref[0, 0] if has_offsets else 0)
     kv_start = j * bk + (offs_ref[0, 1] if has_offsets else 0)
     prefix = prefix_ref[pl.program_id(0), 0] if has_prefix else None
+    # program ids read at kernel top level (the interpreter does not substitute them
+    # inside pl.when bodies); the keep mask is seeded on the (i, j) block pair
+    keep = (
+        _keep_for(seed_ref[0, 0], dropout_rate, rows, bk, pl.program_id(0), pl.program_id(1), i, j)
+        if dropout_rate > 0.0 else None
+    )
 
     def compute():
         q = q_ref[0, 0].reshape(rows, -1)  # [group*bq, D]
@@ -155,10 +197,13 @@ def _fwd_kernel(*refs, scale, causal, has_seg, has_prefix, has_offsets, bq, bk, 
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
+        # softmax denominator uses UNDROPPED p (dropout applies to normalized probs:
+        # out = (dropout(P) @ V) with P = softmax(s), ≡ modelling/llama.py:136)
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        pv_in = p if keep is None else p * keep
         pv = jax.lax.dot_general(
-            p.astype(v_ref.dtype),
+            pv_in.astype(v_ref.dtype),
             v_ref[0, 0],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -180,9 +225,11 @@ def _fwd_kernel(*refs, scale, causal, has_seg, has_prefix, has_offsets, bq, bk, 
         lse_ref[0, 0] = lse.reshape(group, bq, 1)
 
 
-def _fwd(q, k, v, qseg, kseg, prefix, *, scale, causal, bq, bk, offsets=None):
+def _fwd(q, k, v, qseg, kseg, prefix, *, scale, causal, bq, bk, offsets=None,
+         dropout_rate=0.0, seed=None):
     """q [B,Hq,Sq,D]; k,v [B,Hkv,Skv,D]; qseg [B,Sq,1]; kseg [B,1,Skv]; prefix [B,1];
-    offsets [1,2] int32 = (q_offset, kv_offset) global-position shifts (ring attention).
+    offsets [1,2] int32 = (q_offset, kv_offset) global-position shifts (ring attention);
+    seed [1,1] int32 enables in-kernel attention-probability dropout at dropout_rate.
 
     Returns out [B,Hq,Sq,D], lse [B,Hq,Sq,1] fp32 (normalized partial + logsumexp —
     mergeable across kv chunks in lse space).
@@ -193,6 +240,8 @@ def _fwd(q, k, v, qseg, kseg, prefix, *, scale, causal, bq, bk, offsets=None):
     nq, nk = Sq // bq, Skv // bk
     has_seg, has_prefix = qseg is not None, prefix is not None
     has_offsets = offsets is not None
+    if seed is None:
+        dropout_rate = 0.0
 
     # q is viewed [B, Hkv, group, Sq, D]: one grid cell processes a kv head's whole GQA
     # group — K/V stream once per group (not once per q head) and the mask tile is
@@ -216,10 +265,13 @@ def _fwd(q, k, v, qseg, kseg, prefix, *, scale, causal, bq, bk, offsets=None):
     if has_offsets:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # [1, 2] (q_off, kv_off)
         operands.append(offsets)
+    if dropout_rate > 0.0:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # [1, 1] seed
+        operands.append(seed)
 
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, has_seg=has_seg, has_prefix=has_prefix,
-        has_offsets=has_offsets, bq=bq, bk=bk, group=group,
+        has_offsets=has_offsets, dropout_rate=dropout_rate, bq=bq, bk=bk, group=group,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -256,13 +308,14 @@ def _fwd(q, k, v, qseg, kseg, prefix, *, scale, causal, bq, bk, offsets=None):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dkv_kernel(*refs, scale, causal, has_seg, has_prefix, has_offsets, bq, bk, group, fused_dq):
+def _bwd_dkv_kernel(*refs, scale, causal, has_seg, has_prefix, has_offsets, dropout_rate, bq, bk, group, fused_dq):
     it = iter(refs)
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (next(it) for _ in range(6))
     qseg_ref = next(it) if has_seg else None
     kseg_ref = next(it) if has_seg else None
     prefix_ref = next(it) if has_prefix else None
     offs_ref = next(it) if has_offsets else None
+    seed_ref = next(it) if dropout_rate > 0.0 else None
     dk_ref, dv_ref = next(it), next(it)
     dqp_ref = next(it) if fused_dq else None
     dk_acc, dv_acc = next(it), next(it)
@@ -280,6 +333,11 @@ def _bwd_dkv_kernel(*refs, scale, causal, has_seg, has_prefix, has_offsets, bq, 
     q_start = i * bq + (offs_ref[0, 0] if has_offsets else 0)
     kv_start = j * bk + (offs_ref[0, 1] if has_offsets else 0)
     prefix = prefix_ref[pl.program_id(0), 0] if has_prefix else None
+    # seeded (i=q block, j=kv block) exactly as the forward — same mask per pair
+    keep = (
+        _keep_for(seed_ref[0, 0], dropout_rate, rows, bk, pl.program_id(0), pl.program_id(1), i, j)
+        if dropout_rate > 0.0 else None
+    )
 
     def compute():
         q = q_ref[0, 0].reshape(rows, -1)  # whole GQA group stacked [group*bq, D]
@@ -294,11 +352,18 @@ def _bwd_dkv_kernel(*refs, scale, causal, has_seg, has_prefix, has_offsets, bq, 
         s = _apply_mask(s, mask, group, bq, bk)
         p = jnp.exp(s - lse_ref[0, 0].reshape(rows, 1))  # [group*bq, bk]
         do = do_ref[0, 0].reshape(rows, -1)  # [group*bq, D]
+        # keep (hoisted to kernel top level) regenerates the EXACT forward mask for
+        # this (i, j) block pair; with P_drop = P*keep:
+        #   dV = P_dropᵀ dO,  ds = P∘(keep∘(dO Vᵀ) − delta)
+        # (delta = rowsum(dO·out) already equals rowsum(P_drop∘dOVᵀ))
+        p_v = p if keep is None else p * keep
         # contracting over the stacked group rows sums dk/dv over the group in-kernel
         dv_acc[:] += jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p_v.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         dp = jax.lax.dot_general(do, v_ref[0, 0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if keep is not None:
+            dp = dp * keep
         ds = p * (dp - delta_ref[0, 0].reshape(rows, 1)) * scale  # [group*bq, bk]
         dk_acc[:] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -330,7 +395,7 @@ def _bwd_dkv_kernel(*refs, scale, causal, has_seg, has_prefix, has_offsets, bq, 
 
 
 def _bwd(q, k, v, qseg, kseg, prefix, out, lse, do, *, scale, causal, bq, bk,
-         offsets=None, delta=None, cast=True):
+         offsets=None, delta=None, cast=True, dropout_rate=0.0, seed=None):
     """offsets/delta/cast: external-caller knobs for ring attention — position shifts,
     a precomputed delta (vs the FINAL merged out/lse), and fp32 outputs for cross-block
     accumulation."""
@@ -340,6 +405,8 @@ def _bwd(q, k, v, qseg, kseg, prefix, out, lse, do, *, scale, causal, bq, bk,
     nq, nk = Sq // bq, Skv // bk
     has_seg, has_prefix = qseg is not None, prefix is not None
     has_offsets = offsets is not None
+    if seed is None:
+        dropout_rate = 0.0
 
     if delta is None:
         # delta = rowsum(dO * O), carried with trailing singleton: [B, Hq, Sq, 1]
@@ -373,6 +440,8 @@ def _bwd(q, k, v, qseg, kseg, prefix, out, lse, do, *, scale, causal, bq, bk,
             specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # whole [B, 1] array
         if has_offsets:
             specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # [1, 2]
+        if dropout_rate > 0.0:
+            specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # [1, 1] seed
         return specs
 
     operands = [q5, k, v, do5, lse5, delta5]
@@ -382,6 +451,8 @@ def _bwd(q, k, v, qseg, kseg, prefix, out, lse, do, *, scale, causal, bq, bk,
         operands.append(prefix)
     if has_offsets:
         operands.append(offsets)
+    if dropout_rate > 0.0:
+        operands.append(seed)
 
     # One fused kernel computes dk, dv AND per-kv-block dq partials — running a separate
     # dq kernel would recompute the s/p/dp matmuls a second time (measured ~35% of the
@@ -389,7 +460,8 @@ def _bwd(q, k, v, qseg, kseg, prefix, out, lse, do, *, scale, causal, bq, bk,
     # reduction, which is far cheaper than the recompute.
     static = dict(
         scale=scale, causal=causal, has_seg=has_seg, has_prefix=has_prefix,
-        has_offsets=has_offsets, bq=bq, bk=bk, group=group, fused_dq=True,
+        has_offsets=has_offsets, dropout_rate=dropout_rate, bq=bq, bk=bk, group=group,
+        fused_dq=True,
     )
 
     dk, dv, dq_partials = pl.pallas_call(
@@ -430,32 +502,38 @@ def _bwd(q, k, v, qseg, kseg, prefix, out, lse, do, *, scale, causal, bq, bk,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_flash(scale: float, causal: bool, has_seg: bool, has_prefix: bool, bq: int, bk: int):
+def _make_flash(scale: float, causal: bool, has_seg: bool, has_prefix: bool, bq: int, bk: int,
+                dropout_rate: float = 0.0):
     def _norm(args):
         q, k, v, qseg, kseg, prefix = args
         return (q, k, v, qseg if has_seg else None, kseg if has_seg else None, prefix if has_prefix else None)
 
+    dr = dict(dropout_rate=dropout_rate)
+
     @jax.custom_vjp
-    def f(q, k, v, qseg, kseg, prefix):
-        out, _ = _fwd(*_norm((q, k, v, qseg, kseg, prefix)), scale=scale, causal=causal, bq=bq, bk=bk)
+    def f(q, k, v, qseg, kseg, prefix, seed):
+        out, _ = _fwd(*_norm((q, k, v, qseg, kseg, prefix)), scale=scale, causal=causal,
+                      bq=bq, bk=bk, seed=seed, **dr)
         return out
 
-    def f_fwd(q, k, v, qseg, kseg, prefix):
-        out, lse = _fwd(*_norm((q, k, v, qseg, kseg, prefix)), scale=scale, causal=causal, bq=bq, bk=bk)
+    def f_fwd(q, k, v, qseg, kseg, prefix, seed):
+        out, lse = _fwd(*_norm((q, k, v, qseg, kseg, prefix)), scale=scale, causal=causal,
+                        bq=bq, bk=bk, seed=seed, **dr)
         # named so a remat policy can SAVE the attention output+lse — without this the
         # backward re-runs the whole forward kernel under jax.checkpoint (see
         # LlamaConfig.remat_policy='dots_flash')
         from jax.ad_checkpoint import checkpoint_name
 
         out, lse = checkpoint_name((out, lse), "flash_residuals")
-        return out, (q, k, v, qseg, kseg, prefix, out, lse)
+        return out, (q, k, v, qseg, kseg, prefix, seed, out, lse)
 
     def f_bwd(res, do):
-        q, k, v, qseg, kseg, prefix, out, lse = res
+        q, k, v, qseg, kseg, prefix, seed, out, lse = res
         dq, dk, dv = _bwd(
-            *_norm((q, k, v, qseg, kseg, prefix)), out, lse, do, scale=scale, causal=causal, bq=bq, bk=bk
+            *_norm((q, k, v, qseg, kseg, prefix)), out, lse, do, scale=scale, causal=causal,
+            bq=bq, bk=bk, seed=seed, **dr,
         )
-        return dq, dk, dv, None, None, None
+        return dq, dk, dv, None, None, None, None
 
     f.defvjp(f_fwd, f_bwd)
     return f
@@ -476,11 +554,16 @@ def flash_attention(
     scale: float | None = None,
     block_q: int = 512,
     block_kv: int = 1024,  # tuned on v5e (S=4096 GQA fwd+bwd sweep; ties jax's bundled kernel)
+    dropout_rate: float = 0.0,
+    dropout_rng: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Flash attention over [B, S, H, D] layout (the model's layout).
 
     Falls back to the XLA reference path whenever the kernel's static assumptions don't
     hold (decode slices with explicit positions, unaligned shapes, non-TPU backend).
+    Attention-probability dropout (≡ the reference's training-only SDPA dropout,
+    modelling/llama.py:136) runs IN-KERNEL via the TPU PRNG: the keep-mask is
+    regenerated in the backward from the same (seed, block) tuple — nothing stored.
     """
     mi = mask_info or MaskInfo(causal=False)
     B, Sq, Hq, D = q.shape
@@ -498,10 +581,18 @@ def flash_attention(
         or Hq % Hkv != 0
     )
     if unsupported:
-        return dot_product_attention(q, k, v, mask_info, scale)
+        return dot_product_attention(
+            q, k, v, mask_info, scale, dropout_rate=dropout_rate, dropout_rng=dropout_rng
+        )
 
     if scale is None:
         scale = 1.0 / (D**0.5)
+
+    use_dropout = dropout_rate > 0.0 and dropout_rng is not None
+    seed = (
+        jax.random.randint(dropout_rng, (1, 1), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
+        if use_dropout else jnp.zeros((1, 1), jnp.int32)
+    )
 
     qt = q.transpose(0, 2, 1, 3)  # [B, Hq, Sq, D]
     kt = k.transpose(0, 2, 1, 3)
@@ -516,6 +607,9 @@ def flash_attention(
     kseg = kv_seg.astype(jnp.int32).reshape(B, 1, Skv) if has_seg else jnp.zeros((B, 1, 1), jnp.int32)
     prefix = mi.prefix_len.astype(jnp.int32).reshape(B, 1) if has_prefix else jnp.zeros((B, 1), jnp.int32)
 
-    f = _make_flash(float(scale), bool(mi.causal), has_seg, has_prefix, bq, bk)
-    out = f(qt, kt, vt, qseg, kseg, prefix)
+    f = _make_flash(
+        float(scale), bool(mi.causal), has_seg, has_prefix, bq, bk,
+        float(dropout_rate) if use_dropout else 0.0,
+    )
+    out = f(qt, kt, vt, qseg, kseg, prefix, seed)
     return out.transpose(0, 2, 1, 3)
