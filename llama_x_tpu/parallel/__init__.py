@@ -1,4 +1,4 @@
-from llama_x_tpu.parallel.mesh import current_mesh, make_mesh, use_mesh  # noqa: F401
+from llama_x_tpu.parallel.mesh import current_mesh, init_distributed, make_mesh, use_mesh  # noqa: F401
 from llama_x_tpu.parallel.sharding import (  # noqa: F401
     batch_sharding,
     param_specs,
