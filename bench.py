@@ -1,18 +1,30 @@
-"""Headline benchmark: audio+text early-fusion prefix-LM training throughput on one TPU
-chip (BASELINE.json north-star metric: audio+text tokens/sec/chip + MFU).
+"""Headline benchmark — BASELINE.json north star at FULL scale: Llama-3.1-8B-geometry
+QLoRA (int8 frozen base + LoRA) early-fusion prefix-LM training, 40 s audio windows
+(2000 audio tokens) + text to seq 4096, on one TPU chip.
 
-Runs the full production path — mel frontend + conv stem inside the jitted step,
-Llama trunk with remat, LoRA adapters, fused chunked CE — on a ~1B-class config sized
-for a single v5e (16 GB), 40 s audio windows (2000 audio tokens) + text to seq 4096.
+The full production path runs inside ONE jitted step: mel frontend + conv stem,
+Pallas flash attention (prefix-LM mask), dynamic-activation-quant Pallas int8 MXU
+GEMMs for the frozen base, LoRA adapters, remat ("flash" policy: only attention
+outputs+lse saved — the memory point that fits 8B at S=4096 in 16 GB), chunked fused
+CE over the 128k vocab, AdamW on the LoRA params.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
-vs_baseline = MFU / 0.45 (the BASELINE.md target: ≥45% MFU ⇒ ≥1.0; the reference
-publishes no numbers of its own, BASELINE.md:3-5).
+Weights are generated ON-DEVICE (the tunneled host→device path is ~5 MB/s; shipping
+8 GB would take ~25 min).
+
+MFU accounting is honest for QLoRA fine-tuning: frozen matmuls count 4 FLOPs/param/tok
+(fwd + input-grad only — no weight grad exists), trainable LoRA 6, attention 3x its
+causal forward; remat recompute is NOT counted. Denominator = v5e bf16 peak.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
+vs_baseline = MFU / 0.45 (BASELINE.md: MFU >= 45% on the 8B config => >= 1.0).
+
+`python bench.py --model 1b` runs the round-1 1.1B bf16 proxy instead.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -23,27 +35,152 @@ import numpy as np
 PEAK_FLOPS = 197e12
 
 
-def model_flops_per_token(config) -> float:
-    """Approximate train-step FLOPs/token: 6*P_matmul (fwd+bwd) + attention term.
+def qlora_step_flops(config, text_len: int, n_lora: int) -> float:
+    """Useful FLOPs per optimizer step (see module docstring for the accounting)."""
+    D, L, F = config.embed_dim, config.num_layers, config.intermediate_dim
+    H, hd, Hkv, V = config.num_heads, config.head_dim, config.num_kv_heads, config.vocab_size
+    S = config.max_seq_len
+    p_attn = D * (H * hd) * 2 + D * (Hkv * hd) * 2
+    p_mlp = 3 * D * F
+    trunk = S * 4.0 * L * (p_attn + p_mlp)  # frozen: fwd 2 + dgrad 2
+    head = text_len * 4.0 * D * V  # frozen head (loss covers text positions only)
+    lora = S * 6.0 * n_lora
+    attn = L * 12.0 * S * S * (H * hd) * 0.5  # fwd 4 * S^2*Dh*0.5 causal, bwd 2x
+    return trunk + head + lora + attn
 
-    P counts matmul-visible params (projections + embeddings-out head); attention adds
-    12*L*S*D_head_total per token for S-length causal (factor ~0.5 causal discount
-    folded in).
-    """
+
+def build_8b_qlora():
+    """Llama-3.1-8B geometry, int8 base + LoRA, generated on-device."""
+    from llama_x_tpu.adapters import apply_linear_adapter, trainable_mask
+    from llama_x_tpu.models import llama
+    from llama_x_tpu.models.audio import AudioConfig, init_audio_stem
+
+    config = llama.LlamaConfig(
+        embed_dim=4096, num_layers=32, head_dim=128, num_heads=32, num_kv_heads=8,
+        intermediate_dim=14336, max_seq_len=4096, vocab_size=128_256,
+        rope_base=500_000.0, is_llama3_1=True,
+        activation_checkpointing=True, remat_policy="flash",
+        fused_ce_chunks=8, attn_impl="auto", dynamic_int8_act=True,
+    )
+    L, D = config.num_layers, config.embed_dim
+    HD, NH, NKV, F, V = config.head_dim, config.num_heads, config.num_kv_heads, config.intermediate_dim, config.vocab_size
+
+    kit = iter(jax.random.split(jax.random.PRNGKey(0), 16))
+
+    def qlin(fan_in, fan_out):
+        k = next(kit)
+        int_data = jax.jit(
+            lambda k: jax.random.randint(k, (L, fan_out, fan_in), -127, 128, jnp.int8)
+        )(k)
+        # scale chosen so dequantized weights have std ~= 0.02/sqrt(fan_in) (uniform
+        # int8 has std ~73.3): activations stay sane and the loss is finite — a bigger
+        # scale compounds ~46x gain per matmul and overflows the bf16 residual stream
+        s = 0.02 / (73.3 * fan_in**0.5)
+        return {"int_data": int_data, "scale": jnp.full((L, fan_out), s, jnp.bfloat16)}
+
+    def emb(shape):
+        return jax.jit(lambda k: (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(jnp.bfloat16))(next(kit))
+
+    params = {
+        "tok_embeddings": {"weight": emb((V, D))},
+        "layers": {
+            "attention_norm": {"scale": jnp.ones((L, D), jnp.bfloat16)},
+            "attention": {"wq": qlin(D, NH * HD), "wk": qlin(D, NKV * HD), "wv": qlin(D, NKV * HD), "wo": qlin(NH * HD, D)},
+            "ffn_norm": {"scale": jnp.ones((L, D), jnp.bfloat16)},
+            "feed_forward": {"w1": qlin(D, F), "w3": qlin(D, F), "w2": qlin(F, D)},
+        },
+        "norm": {"scale": jnp.ones((D,), jnp.bfloat16)},
+        "output": {"kernel": emb((D, V))},
+    }
+    audio_config = AudioConfig()
+    params["audio_embed"] = init_audio_stem(next(kit), config, audio_config, jnp.bfloat16)
+    params = dict(params, layers=apply_linear_adapter(params["layers"], "lora", next(kit)))
+    mask = trainable_mask(params, freeze_prefixes=("tok_embeddings", "output", "norm", "audio_embed"))
+    return config, audio_config, params, mask
+
+
+def bench_8b():
+    from llama_x_tpu.models import audio as audio_mod
+    from llama_x_tpu.train.optim import get_optimizer
+    from llama_x_tpu.train.trainer import init_train_state, make_train_step
+    from llama_x_tpu.utils.tree import trainable_param_count
+
+    t0 = time.perf_counter()
+    config, audio_config, params, mask = build_8b_qlora()
+    n_lora, n_frozen = trainable_param_count(params, mask)
+    build_s = time.perf_counter() - t0
+
+    audio_secs = 40.0
+    n_audio_tok = audio_config.num_audio_tokens(int(audio_secs * audio_config.sample_rate))
+    text_len = config.max_seq_len - n_audio_tok  # 2096
+
+    def loss_fn(p, mb):
+        loss = audio_mod.forward(
+            p, config, audio_config, mb["audio"], mb["tokens"], labels=mb["labels"], prefix_lm=True
+        )
+        return loss, jnp.sum(mb["labels"] != -100)
+
+    tx = get_optimizer("AdamW", 1e-4)
+    state = init_train_state(params, mask, tx)
+    step = jax.jit(make_train_step(loss_fn, tx), donate_argnums=(0,))
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "audio": jnp.asarray(rng.standard_normal((1, 1, int(audio_secs * 16_000))).astype(np.float32) * 0.1),
+        "tokens": jnp.asarray(rng.integers(1, config.vocab_size, (1, 1, text_len)).astype(np.int32)),
+        "labels": jnp.asarray(rng.integers(1, config.vocab_size, (1, 1, text_len)).astype(np.int32)),
+    }
+
+    # NOTE: jax.block_until_ready does not sync on the tunneled TPU backend — force a
+    # device->host transfer (float()) instead; each iteration consumes the previous
+    # state so the final transfer fences the chain.
+    t0 = time.perf_counter()
+    state, metrics = step(state, batch)
+    loss0 = float(metrics["loss"])
+    compile_s = time.perf_counter() - t0
+
+    n_iters = 8
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, metrics = step(state, batch)
+    final_loss = float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / n_iters
+
+    flops = qlora_step_flops(config, text_len, n_lora)
+    mfu = flops / dt / PEAK_FLOPS
+    print(
+        json.dumps(
+            {
+                "metric": "mfu_8b_qlora_prefix_lm",
+                "value": round(mfu, 4),
+                "unit": "MFU (useful-FLOPs / bf16 peak)",
+                "vs_baseline": round(mfu / 0.45, 4),
+                "tokens_per_sec_per_chip": round(config.max_seq_len / dt, 1),
+                "audio_secs_per_second": round(audio_secs / dt, 2),
+                "step_time_ms": round(dt * 1e3, 2),
+                "compile_s": round(compile_s, 1),
+                "build_s": round(build_s, 1),
+                "loss": round(final_loss, 4),
+                "trainable_params": int(n_lora),
+                "frozen_params": int(n_frozen),
+                "model": "Llama-3.1-8B geometry, int8 base (dynamic-act Pallas GEMM) + LoRA, "
+                "40s-audio prefix-LM, flash remat, fused CE, seq 4096, bf16",
+            }
+        ),
+        flush=True,
+    )
+
+
+def model_flops_per_token(config) -> float:
+    """1.1B proxy accounting (6*P full fine-tune) — kept for `--model 1b`."""
     D, L, F, V = config.embed_dim, config.num_layers, config.intermediate_dim, config.vocab_size
     H, hd, Hkv = config.num_heads, config.head_dim, config.num_kv_heads
-    p_attn = D * (H * hd) * 2 + D * (Hkv * hd) * 2  # wq, wo, wk, wv
-    p_mlp = 3 * D * F
-    p_head = D * V
-    p = L * (p_attn + p_mlp) + p_head
-    flops = 6.0 * p
-    # attention scores+values: 2 matmuls * 2 (fwd) * 3 (fwd+bwd) * S * (H*hd) * 0.5 causal
+    p = L * (D * (H * hd) * 2 + D * (Hkv * hd) * 2 + 3 * D * F) + D * V
     S = config.max_seq_len
-    flops += L * 12 * S * H * hd * 0.5
-    return flops
+    return 6.0 * p + L * 12 * S * H * hd * 0.5
 
 
-def main():
+def bench_1b():
     from llama_x_tpu.adapters import apply_linear_adapter, trainable_mask
     from llama_x_tpu.models import audio as audio_mod
     from llama_x_tpu.models import llama
@@ -52,23 +189,15 @@ def main():
     from llama_x_tpu.train.trainer import init_train_state, make_train_step
 
     config = llama.LlamaConfig(
-        embed_dim=2048,
-        num_layers=16,
-        head_dim=128,
-        num_heads=16,
-        num_kv_heads=8,
-        intermediate_dim=5632,
-        max_seq_len=4096,
-        vocab_size=32_000,
-        activation_checkpointing=True,
-        remat_policy="dots_flash",
-        fused_ce_chunks=8,
+        embed_dim=2048, num_layers=16, head_dim=128, num_heads=16, num_kv_heads=8,
+        intermediate_dim=5632, max_seq_len=4096, vocab_size=32_000,
+        activation_checkpointing=True, remat_policy="dots_flash", fused_ce_chunks=8,
         attn_impl="auto",
     )
     audio_config = AudioConfig()
     audio_secs = 40.0
     n_audio_tok = audio_config.num_audio_tokens(int(audio_secs * audio_config.sample_rate))
-    text_len = config.max_seq_len - n_audio_tok  # 2096
+    text_len = config.max_seq_len - n_audio_tok
 
     model = LlamaAudio.init(jax.random.PRNGKey(0), config, audio_config, dtype=jnp.bfloat16)
     params = dict(model.params, layers=apply_linear_adapter(model.params["layers"], "lora", jax.random.PRNGKey(1)))
@@ -91,9 +220,6 @@ def main():
         "labels": jnp.asarray(rng.integers(1, config.vocab_size, (1, 1, text_len)).astype(np.int32)),
     }
 
-    # warmup/compile. NOTE: jax.block_until_ready does not actually sync on the
-    # tunneled TPU backend — force a device->host transfer (float()) instead; each
-    # iteration consumes the previous state so the final transfer fences the chain.
     t0 = time.perf_counter()
     state, metrics = step(state, batch)
     float(metrics["loss"])
@@ -106,27 +232,30 @@ def main():
     float(metrics["loss"])
     dt = (time.perf_counter() - t0) / n_iters
 
-    tokens_per_step = config.max_seq_len  # audio + text tokens through the trunk
-    toks_per_sec = tokens_per_step / dt
-    mfu = model_flops_per_token(config) * tokens_per_step / dt / PEAK_FLOPS
-    audio_secs_per_sec = audio_secs / dt
-
+    mfu = model_flops_per_token(config) * config.max_seq_len / dt / PEAK_FLOPS
     print(
         json.dumps(
             {
                 "metric": "audio_text_tokens_per_sec_per_chip",
-                "value": round(toks_per_sec, 1),
+                "value": round(config.max_seq_len / dt, 1),
                 "unit": "tokens/s",
                 "vs_baseline": round(mfu / 0.45, 4),
                 "mfu": round(mfu, 4),
                 "step_time_ms": round(dt * 1e3, 2),
-                "audio_secs_per_second": round(audio_secs_per_sec, 2),
+                "audio_secs_per_second": round(audio_secs / dt, 2),
                 "compile_s": round(compile_s, 1),
                 "loss": round(float(metrics["loss"]), 4),
                 "model": "1.1B llama-style, 40s audio prefix-LM, LoRA+remat+fused-CE, bf16",
             }
         )
     )
+
+
+def main():
+    if "--model" in sys.argv and sys.argv[sys.argv.index("--model") + 1] == "1b":
+        bench_1b()
+    else:
+        bench_8b()
 
 
 if __name__ == "__main__":

@@ -67,7 +67,10 @@ class LlamaConfig:
     # remat policy when activation_checkpointing: "full" recomputes everything;
     # "dots" saves matmul outputs (jax dots_with_no_batch_dims_saveable) — faster
     # backward, ~2x the activation memory of "full"; "dots_flash" additionally saves
-    # the flash-attention outputs+lse so the backward never re-runs the fwd kernel
+    # the flash-attention outputs+lse so the backward never re-runs the fwd kernel;
+    # "flash" saves ONLY the flash outputs+lse (~S*D bytes/layer) — the memory point
+    # that fits 8B QLoRA at S=4096 on one 16 GB chip while still skipping the
+    # attention-forward recompute (the most expensive part of the backward re-run)
     remat_policy: str = "full"
 
     def replace(self, **kw) -> "LlamaConfig":
@@ -260,6 +263,8 @@ def remat_policy(config: LlamaConfig):
             jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
             jax.checkpoint_policies.save_only_these_names("flash_residuals"),
         )
+    if config.remat_policy == "flash":
+        return jax.checkpoint_policies.save_only_these_names("flash_residuals")
     return None
 
 

@@ -568,7 +568,12 @@ def flash_attention(
     mi = mask_info or MaskInfo(causal=False)
     B, Sq, Hq, D = q.shape
     _, Skv, Hkv, _ = k.shape
-    bq = _pick_block(Sq, block_q)
+    # one grid cell carries the whole GQA group (group*bq rows), so the per-cell fp32
+    # [group*bq, bk] logit tiles scale with the group factor — cap group*bq at 1024
+    # rows or the backward blows the ~16 MB scoped-VMEM limit (observed at 8B:
+    # group=4, bq=512 → 23.3 MB stack allocation)
+    group_f = max(1, Hq // max(Hkv, 1))
+    bq = _pick_block(Sq, min(block_q, max(128, 1024 // group_f)))
     bk = _pick_block(Skv, block_kv)
     unsupported = (
         (jax.default_backend() != "tpu" and not INTERPRET)

@@ -69,6 +69,32 @@ def int8_mm_dequant(a_i8, b_i8, row_scale, col_scale, out_dtype=jnp.bfloat16):
     return _int8_mm_dequant_xla(a_i8, b_i8, row_scale, col_scale, out_dtype)
 
 
+def _int8_mm_dequant_nt_xla(a_i8, b_nk_i8, row_scale, col_scale, out_dtype):
+    """XLA fallback of the NT kernel: a [M, K] x b [N, K] (contraction on both dim-1s).
+    Same integer math as _int8_mm_dequant_xla — dot_general handles the layout."""
+    row_scale = row_scale.reshape(-1)
+    col_scale = col_scale.reshape(-1)
+    assert row_scale.shape == (a_i8.shape[0],) and col_scale.shape == (b_nk_i8.shape[0],)
+    acc = jax.lax.dot_general(
+        a_i8,
+        b_nk_i8,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * row_scale.astype(jnp.float32)[:, None] * col_scale.astype(jnp.float32)[None, :]
+    return out.astype(out_dtype)
+
+
+def int8_mm_dequant_nt(a_i8, b_nk_i8, row_scale, col_scale, out_dtype=jnp.bfloat16):
+    """int8 GEMM with the weight in its NATIVE [out, in] layout (no transpose in the
+    graph — see int8_mm.int8_mm_dequant_nt_pallas for why this is load-bearing at 8B)."""
+    from llama_x_tpu.ops import int8_mm as _pallas
+
+    if _pallas.pallas_int8_available():
+        return _pallas.int8_mm_dequant_nt_pallas(a_i8, b_nk_i8, row_scale, col_scale, out_dtype)
+    return _int8_mm_dequant_nt_xla(a_i8, b_nk_i8, row_scale, col_scale, out_dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def int8_linear(x: jnp.ndarray, int_data: jnp.ndarray, scale: jnp.ndarray, dynamic_int8_act: bool = False):
     """x [..., in] @ dequant(W).T where W = {int_data [out, in], scale [out]}.
@@ -83,11 +109,16 @@ def _int8_linear_fwd_impl(x, int_data, scale, dynamic_int8_act):
     lead = x.shape[:-1]
     k = x.shape[-1]
     x2 = x.reshape(-1, k)
+    # int_data is consumed in its native [out, in] layout on BOTH paths (dot_general
+    # contracting dim 1, never `.T`): a transpose here gets hoisted out of the layer
+    # scan by XLA into layout-converted copies of the whole frozen base (~4.8 GB at 8B)
     if dynamic_int8_act:
         x_i8, x_scale = quantize_int8_rowwise(x2)
-        out = int8_mm_dequant(x_i8, int_data.T, x_scale, scale, out_dtype=x.dtype)
+        out = int8_mm_dequant_nt(x_i8, int_data, x_scale, scale, out_dtype=x.dtype)
     else:
-        out = (x2 @ int_data.T.astype(x.dtype)) * scale.astype(x.dtype)
+        out = jax.lax.dot_general(
+            x2, int_data.astype(x.dtype), (((1,), (1,)), ((), ()))
+        ) * scale.astype(x.dtype)
     return out.reshape(*lead, int_data.shape[0])
 
 

@@ -22,17 +22,19 @@ def pallas_int8_available() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _kernel(a_ref, b_ref, rs_ref, cs_ref, out_ref, acc_ref):
+def _kernel(a_ref, b_ref, rs_ref, cs_ref, out_ref, acc_ref, *, b_nk=False):
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
     def _zero():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    # b_nk: b block is [bn, bk] (weight in its natural [N, K] layout) — contract over
+    # its dim 1 on the MXU instead of materializing a transpose in the graph
     acc_ref[:] += jax.lax.dot_general(
         a_ref[:],
         b_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        dimension_numbers=(((1,), (1 if b_nk else 0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
 
@@ -94,3 +96,56 @@ def int8_mm_dequant_pallas(
             transcendentals=0,
         ),
     )(a_i8, b_i8, row_scale.reshape(M, 1), col_scale.reshape(1, N))
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "block_m", "block_n", "block_k"))
+def int8_mm_dequant_nt_pallas(
+    a_i8: jnp.ndarray,
+    b_nk_i8: jnp.ndarray,
+    row_scale: jnp.ndarray,
+    col_scale: jnp.ndarray,
+    out_dtype=jnp.bfloat16,
+    block_m: int = 512,
+    block_n: int = 512,
+    block_k: int = 2048,
+):
+    """a_i8 [M, K] x b_nk_i8 [N, K] -> [M, N]: the quantized-linear layout.
+
+    Weights live as int_data [out, in]; consuming them untransposed (contraction on
+    dim 1, native on the MXU) keeps ONE layout for every use of the frozen base. With
+    the transposing variant XLA hoists `int_data.T` out of the layer scan and
+    materializes layout-converted copies of the whole stacked weight array — ~4.8 GB
+    of HLO temps at 8B, the difference between fitting a 16 GB chip and OOM.
+    """
+    M, K = a_i8.shape
+    N, K2 = b_nk_i8.shape
+    assert K == K2, (a_i8.shape, b_nk_i8.shape)
+
+    bm, bn, bk = min(block_m, M), min(block_n, N), min(block_k, K)
+    if M % bm or N % bn or K % bk or bm % 32 or bn % 128 or bk % 128:
+        from llama_x_tpu.ops.int8 import _int8_mm_dequant_nt_xla
+
+        return _int8_mm_dequant_nt_xla(a_i8, b_nk_i8, row_scale, col_scale, out_dtype)
+
+    grid = (M // bm, N // bn, K // bk)
+    return pl.pallas_call(
+        functools.partial(_kernel, b_nk=True),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bn, bk), lambda i, j, k: (j, k)),
+            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0)),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K + N * K + M * N * 2,
+            transcendentals=0,
+        ),
+    )(a_i8, b_nk_i8, row_scale.reshape(M, 1), col_scale.reshape(1, N))

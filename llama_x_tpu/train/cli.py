@@ -54,7 +54,7 @@ def add_common_args(parser: argparse.ArgumentParser):
     # --- TPU-native knobs (no reference counterpart) ---
     parser.add_argument("--mesh", type=json.loads, default=dict(), help='e.g. {"dp":4,"fsdp":2,"tp":2}')
     parser.add_argument("--attn_impl", default="auto", choices=["auto", "xla", "flash", "ring"])
-    parser.add_argument("--remat_policy", default="full", choices=["full", "dots", "dots_flash"])
+    parser.add_argument("--remat_policy", default="full", choices=["full", "dots", "dots_flash", "flash"])
     parser.add_argument("--fused_ce_chunks", type=int, default=0)
     parser.add_argument(
         "--synthetic", type=int, default=0,

@@ -1,0 +1,180 @@
+"""Synthetic end-to-end WER artifact: tone-to-word ASR with the full framework loop.
+
+BASELINE.md's "LibriSpeech step time + WER" row needs real data this image doesn't
+ship, so this is the offline proof that the WER pipeline WORKS end to end on generated
+audio (VERDICT r1 next-step #9): a tiny LlamaAudio learns a genuinely audio-conditioned
+task — each utterance is a sequence of pure tones whose frequencies encode words — and
+WER is measured with the production path at every stage:
+
+  train (train/trainer.py step, prefix-LM audio fusion)
+    -> save_checkpoint -> restore_params (the eval restore path, train/checkpoint.py)
+    -> generate() greedy decode with audio prefix embeds (models/generate.py)
+    -> train/wer.py corpus WER
+
+The artifact (runs/wer_synthetic/wer.json) records WER before and after training:
+an untrained model scores ~1.0; the trained model must transcribe held-out tone
+sequences it never saw, which is only possible by attending to the audio prefix.
+
+usage: PYTHONPATH=/root/.axon_site:/root/repo python tools/wer_synthetic.py
+       (add --steps/--eval_utts to resize; CPU-runnable with JAX_PLATFORMS=cpu)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llama_x_tpu.data.tokenizers import ByteTokenizer
+from llama_x_tpu.models import audio as audio_mod
+from llama_x_tpu.models import llama
+from llama_x_tpu.models.audio import AudioConfig, LlamaAudio
+from llama_x_tpu.train.checkpoint import restore_params, save_checkpoint
+from llama_x_tpu.train.optim import get_optimizer
+from llama_x_tpu.train.trainer import init_train_state, make_train_step
+from llama_x_tpu.adapters import trainable_mask
+from llama_x_tpu.train.wer import wer
+
+WORDS = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel"]
+FREQS = [220.0 * 2 ** (i / 2) for i in range(len(WORDS))]  # 220..~2.5k Hz, half octaves
+TONE_SECS = 0.5
+WORDS_PER_UTT = 3
+SR = 16_000
+TEXT_LEN = 32  # bos + "alpha bravo charlie" + eos fits with margin
+
+
+def make_utterance(rng: np.random.Generator):
+    """Random tone sequence -> (waveform [T], transcript str)."""
+    idx = rng.integers(0, len(WORDS), WORDS_PER_UTT)
+    t = np.arange(int(TONE_SECS * SR)) / SR
+    tones = [np.sin(2 * np.pi * FREQS[i] * t) * 0.3 for i in idx]
+    return np.concatenate(tones).astype(np.float32), " ".join(WORDS[i] for i in idx)
+
+
+def encode_text(tok: ByteTokenizer, text: str):
+    ids = tok(text, add_bos=True, add_eos=True)
+    tokens = np.full(TEXT_LEN, tok.pad_id, np.int32)
+    tokens[: len(ids)] = ids
+    labels = np.full(TEXT_LEN, -100, np.int32)
+    labels[: len(ids) - 1] = ids[1:]  # predict next token; pads ignored
+    return tokens, labels
+
+
+def batches(rng, tok, batch_size):
+    while True:
+        audio, tokens, labels = [], [], []
+        for _ in range(batch_size):
+            wav, text = make_utterance(rng)
+            t, l = encode_text(tok, text)
+            audio.append(wav)
+            tokens.append(t)
+            labels.append(l)
+        # leading axis = gradient-accumulation microbatches (make_train_step scans it)
+        yield {
+            "audio": jnp.asarray(np.stack(audio))[None],
+            "tokens": jnp.asarray(np.stack(tokens))[None],
+            "labels": jnp.asarray(np.stack(labels))[None],
+        }
+
+
+def eval_wer(params, config, audio_config, tok, rng, n_utts):
+    """Greedy-decode held-out tone sequences through the production generate() path."""
+    from llama_x_tpu.models.generate import generate
+
+    refs, hyps = [], []
+    embed_dtype = params["tok_embeddings"]["weight"].dtype
+    for _ in range(n_utts):
+        wav, text = make_utterance(rng)
+        prefix = audio_mod.audio_embed(
+            params["audio_embed"], audio_config, jnp.asarray(wav[None]), dtype=embed_dtype
+        )
+        bos = jnp.full((1, 1), tok.bos_id, jnp.int32)
+        out = generate(
+            params, config, bos, max_new_tokens=TEXT_LEN, eos_id=tok.eos_id,
+            pad_id=tok.pad_id, prefix_embeds=prefix, prefix_lm=True,
+        )
+        row = [int(t) for t in np.asarray(out)[0] if t not in (tok.pad_id, tok.eos_id)]
+        refs.append(text)
+        hyps.append(tok.decode(row).strip())
+    return wer(refs, hyps), refs, hyps
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=300)
+    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--lr", type=float, default=2e-3)
+    parser.add_argument("--eval_utts", type=int, default=32)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--out_dir", default="runs/wer_synthetic")
+    args = parser.parse_args()
+
+    tok = ByteTokenizer()
+    config = llama.tiny_config(
+        embed_dim=256, num_layers=4, head_dim=32, num_heads=8, num_kv_heads=4,
+        intermediate_dim=768, vocab_size=tok.vocab_size + 5, max_seq_len=512,
+    )
+    audio_config = AudioConfig()
+    model = LlamaAudio.init(jax.random.PRNGKey(args.seed), config, audio_config, dtype=jnp.float32)
+    params = model.params
+    mask = trainable_mask(params)
+
+    def loss_fn(p, mb):
+        loss = audio_mod.forward(
+            p, config, audio_config, mb["audio"], mb["tokens"], labels=mb["labels"], prefix_lm=True
+        )
+        return loss, jnp.sum(mb["labels"] != -100)
+
+    tx = get_optimizer("AdamW", args.lr)
+    state = init_train_state(params, mask, tx)
+    step_fn = jax.jit(make_train_step(loss_fn, tx), donate_argnums=(0,))
+
+    eval_rng = np.random.default_rng(args.seed + 10_000)  # held-out sequences
+    wer_init, _, _ = eval_wer(params, config, audio_config, tok, eval_rng, args.eval_utts)
+    print(f"WER before training: {wer_init:.3f}")
+
+    data = batches(np.random.default_rng(args.seed), tok, args.batch_size)
+    t0 = time.perf_counter()
+    losses = []
+    for step in range(args.steps):
+        state, metrics = step_fn(state, next(data))
+        if step % 50 == 0 or step == args.steps - 1:
+            loss = float(metrics["loss"])
+            losses.append(loss)
+            print(f"step {step}: loss {loss:.4f}")
+    train_s = time.perf_counter() - t0
+
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    save_checkpoint(out_dir, state, args.steps)
+
+    # eval through the checkpoint-restore path (what eval_librispeech.py --resume does)
+    restored, _ = restore_params(out_dir / f"step_{args.steps:08d}")
+    restored = jax.tree.map(jnp.asarray, restored)
+    eval_rng = np.random.default_rng(args.seed + 10_000)
+    wer_final, refs, hyps = eval_wer(restored, config, audio_config, tok, eval_rng, args.eval_utts)
+    print(f"WER after {args.steps} steps: {wer_final:.3f}")
+    for r, h in list(zip(refs, hyps))[:4]:
+        print(f"  ref: {r!r}  hyp: {h!r}")
+
+    artifact = {
+        "task": "synthetic tone-sequence ASR (8 words x 3 tones, held-out eval)",
+        "wer_before": round(wer_init, 4),
+        "wer_after": round(wer_final, 4),
+        "steps": args.steps,
+        "final_loss": losses[-1],
+        "train_seconds": round(train_s, 1),
+        "n_eval_utts": args.eval_utts,
+        "restored_from_checkpoint": True,
+    }
+    (out_dir / "wer.json").write_text(json.dumps(artifact, indent=1))
+    print(json.dumps(artifact))
+
+
+if __name__ == "__main__":
+    main()
