@@ -182,19 +182,39 @@ def attention(
         k = apply_rope(k, rope, positions=input_pos)
 
     new_cache = None
+    decode_from_cache = False
     if cache is not None:
-        k_cache, v_cache = cache  # [B, max_seq_len, n_kv, hd]
+        k_cache, v_cache = cache  # [B, n_kv, max_seq_len, hd] (contiguous per-head rows)
         assert input_pos is not None
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, input_pos[0], 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, input_pos[0], 0, 0))
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.transpose(0, 2, 1, 3).astype(k_cache.dtype), (0, 0, input_pos[0], 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.transpose(0, 2, 1, 3).astype(v_cache.dtype), (0, 0, input_pos[0], 0)
+        )
         new_cache = (k_cache, v_cache)
-        if not prefill:
-            k, v = k_cache, v_cache
+        decode_from_cache = not prefill
+
+    if decode_from_cache:
+        # single-token decode over the static cache: the Pallas decode kernel reads
+        # only the live kv_len prefix, in the cache's own [B, Hkv, S, D] layout
+        # (O(kv_len) contiguous HBM traffic, ops/decode_attention.py)
+        from llama_x_tpu.ops import decode_attention as da
+
+        if config.attn_impl != "xla" and da.decode_supported(q.shape, k_cache.shape, mask_info):
+            lens = da.effective_lens(mask_info, B)
+            out = da.decode_attention(q, k_cache, v_cache, lens, 1.0 / c.head_dim**0.5)
+        else:
+            out = dot_product_attention(
+                q, k_cache.transpose(0, 2, 1, 3), v_cache.transpose(0, 2, 1, 3), mask_info
+            )
+        out = out.reshape(B, S, c.num_heads * c.head_dim)
+        return apply_linear(out, p["wo"], dynamic_int8_act=c.dynamic_int8_act), new_cache
 
     use_dropout = config.attn_dropout > 0.0 and dropout_rng is not None
     use_flash = (
         config.attn_impl == "flash"
-        or (config.attn_impl == "auto" and (cache is None or prefill) and jax.default_backend() == "tpu")
+        or (config.attn_impl == "auto" and jax.default_backend() == "tpu")
     )
     if config.attn_impl == "ring" and cache is None:
         # context parallelism: sequence sharded over the ambient mesh's "cp" axis,
@@ -280,7 +300,8 @@ def trunk(
 ):
     """Scan the stacked layers. x: [B, S, D] embeddings. Returns (x, new_kv_cache).
 
-    kv_cache, if given, is a pair of [num_layers, B, max_seq_len, n_kv, hd] arrays.
+    kv_cache, if given, is a pair of [num_layers, B, n_kv, max_seq_len, hd] arrays
+    (see init_kv_cache for the layout rationale).
     """
     rope = build_rope(
         config.max_seq_len,
@@ -385,10 +406,13 @@ def forward(
 def init_kv_cache(config: LlamaConfig, batch_size: int, dtype=jnp.bfloat16):
     """Static full-length cache (≡ KVCache, modelling/llama.py:76-90), stacked per layer.
 
-    Layout [L, B, S, n_kv, hd] — sequence axis second-to-last-but-one keeps the scatter
-    at input_pos a cheap dynamic_update_slice on a contiguous (n_kv*hd) row.
+    Layout [L, B, n_kv, S, hd]: decode reads the whole live cache every token, so each
+    per-head [block, hd] tile must be CONTIGUOUS for the Pallas decode kernel's DMAs
+    (a [B, S, n_kv, hd] cache serves 256-byte rows at 2 KB stride — measured slower
+    than the XLA path). The scatter at input_pos writes one strided row per head per
+    token, which is noise next to the read traffic.
     """
-    shape = (config.num_layers, batch_size, config.max_seq_len, config.num_kv_heads, config.head_dim)
+    shape = (config.num_layers, batch_size, config.num_kv_heads, config.max_seq_len, config.head_dim)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 

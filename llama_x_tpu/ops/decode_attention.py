@@ -1,0 +1,184 @@
+"""Pallas TPU decode attention: single-token queries over the static KV cache.
+
+The reference's decode path is SDPA over the FULL static cache with a gathered bool
+mask (modelling/llama.py:126-137, KVCache returns the whole [max_seq_len] cache) — at
+position t it reads and masks max_seq_len - t dead keys. This kernel is the TPU-native
+redesign: the grid walks kv-cache blocks and
+
+- blocks past ``kv_len`` are never fetched: the BlockSpec index_map clamps their block
+  index to the last valid block, and Mosaic's pipeline skips the DMA when consecutive
+  grid steps map to the same block — HBM traffic is O(kv_len), not O(max_seq_len);
+- the cache arrives in its storage layout [B, Hkv, S_max, D] (models/llama.py
+  init_kv_cache), so every kv block is one CONTIGUOUS [bk, D] tile — strided per-head
+  slices of a [B, S, Hkv, D] cache read 256-byte rows at 2 KB stride and waste most of
+  the DMA bandwidth (measured slower than the XLA path before this layout);
+- the whole GQA group of query heads rides one grid cell (rows = group), so the cache
+  streams once per KV head (the reference repeat_interleaves K/V to n_heads);
+- masking needs no materialized [B, H, 1, S] logits: the tail block masks
+  ``kv_pos >= kv_len`` inline in the online softmax.
+
+Decode attention at serving batch sizes is cache-bandwidth-bound (at B=16, S=4k the
+cache is ~128 MB/layer vs 200 MB of weights), so cutting cache reads is the whole
+game; the MXU matmuls here are tiny and irrelevant.
+
+Forward-only by design: generation never differentiates. Training/prefill shapes go
+through ops/flash_attention.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+_LANES = 128
+
+# test hook (mirrors flash_attention.INTERPRET)
+INTERPRET = False
+
+
+def _kernel(lens_ref, q_ref, k_ref, v_ref, out_ref, acc_ref, m_ref, l_ref, *, scale, bk, group):
+    b = pl.program_id(0)
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+    len_b = lens_ref[b]
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(j * bk < len_b)
+    def _compute():
+        q = q_ref[0, 0, 0]  # [group, D]
+        k = k_ref[0, 0]  # [bk, D]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s *= scale
+        kv_pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (group, bk), 1)
+        s = jnp.where(kv_pos < len_b, s, _NEG_INF)
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype),
+            v_ref[0, 0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = acc_ref[:] * alpha + pv
+
+    @pl.when(j == nk - 1)
+    def _epilogue():
+        l = l_ref[:, :1]
+        out_ref[0, 0, 0] = (acc_ref[:] / jnp.where(l == 0.0, 1.0, l)).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_kv"))
+def decode_attention(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    kv_len: jnp.ndarray,
+    scale: float,
+    block_kv: int = 1024,  # v5e sweep at S_max=16k: best full-length time, keeps the
+    # partial-length win (smaller blocks pay per-cell overhead, larger ones waste
+    # reads in the last partial block)
+) -> jnp.ndarray:
+    """q [B, 1, Hq, D] (model layout); k_cache/v_cache [B, Hkv, S_max, D] (cache storage
+    layout — contiguous per-head blocks); kv_len [B] int32 valid lengths.
+    Returns [B, 1, Hq, D].
+
+    Caller guarantees: S_max block-divisible, D % 128 == 0, Hq % Hkv == 0 (see
+    decode_supported).
+    """
+    B, Sq, Hq, D = q.shape
+    _, Hkv, S_max, _ = k_cache.shape
+    assert Sq == 1
+    group = Hq // Hkv
+    bk = _pick_bk(S_max, block_kv)
+    nk = S_max // bk
+
+    q5 = q.reshape(B, 1, Hkv, group, D)
+    lens = jnp.broadcast_to(kv_len.astype(jnp.int32).reshape(-1), (B,))
+
+    def kv_map(b, h, j, lens_ref):
+        # clamp dead blocks to the last valid one: consecutive identical block indices
+        # skip the DMA, so blocks past kv_len are fetched zero times (after the clamp
+        # target itself) — this is what makes decode O(kv_len) HBM traffic
+        last = jnp.maximum(pl.cdiv(lens_ref[b], bk) - 1, 0)
+        return (b, h, jnp.minimum(j, last), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Hkv, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, group, D), lambda b, h, j, lens_ref: (b, 0, h, 0, 0)),
+            pl.BlockSpec((1, 1, bk, D), kv_map),
+            pl.BlockSpec((1, 1, bk, D), kv_map),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, group, D), lambda b, h, j, lens_ref: (b, 0, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((group, D), jnp.float32),
+            pltpu.VMEM((group, _LANES), jnp.float32),
+            pltpu.VMEM((group, _LANES), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale, bk=bk, group=group),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 1, Hkv, group, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=INTERPRET,
+    )(lens, q5, k_cache, v_cache)
+    return out.reshape(B, 1, Hq, D)
+
+
+def _pick_bk(s: int, target: int) -> int | None:
+    for b in (target, 1024, 512, 256, 128):
+        if b <= s and s % b == 0:
+            return b
+    return None
+
+
+def decode_supported(q_shape, kv_cache_shape, mi) -> bool:
+    """True when the decode kernel covers this call (single-token causal decode over a
+    [B, Hkv, S_max, D] cache with kv_len). Everything else takes the XLA path."""
+    B, Sq, Hq, D = q_shape
+    _, Hkv, S_max, _ = kv_cache_shape
+    return (
+        (jax.default_backend() == "tpu" or INTERPRET)
+        and Sq == 1
+        and mi.kv_len is not None
+        and mi.causal
+        # causal + no explicit position would mean "query at position 0" (the oracle's
+        # iota semantics) — the kernel assumes the query is at kv_len-1 or q_positions
+        and mi.q_positions is not None
+        and mi.kv_positions is None
+        and mi.segment_ids is None
+        and mi.prefix_len is None
+        and D % 128 == 0
+        and Hq % Hkv == 0
+        and _pick_bk(S_max, 512) is not None
+    )
+
+
+def effective_lens(mi, B) -> jnp.ndarray:
+    """Oracle semantics: causal AND kv_pos < kv_len — with an explicit query position
+    the effective window is min(kv_len, q_pos + 1). Shared by the router and tests."""
+    lens = jnp.broadcast_to(mi.kv_len.astype(jnp.int32).reshape(-1), (B,))
+    if mi.q_positions is not None:
+        qp = jnp.broadcast_to(mi.q_positions.astype(jnp.int32)[..., -1].reshape(-1), (B,))
+        lens = jnp.minimum(lens, qp + 1)
+    return lens
