@@ -24,7 +24,7 @@ vs_baseline = MFU / 0.45 (BASELINE.md: MFU >= 45% on the 8B config => >= 1.0).
 from __future__ import annotations
 
 import json
-import sys
+
 import time
 
 import jax
@@ -252,10 +252,12 @@ def bench_1b():
 
 
 def main():
-    if "--model" in sys.argv and sys.argv[sys.argv.index("--model") + 1] == "1b":
-        bench_1b()
-    else:
-        bench_8b()
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", default="8b", choices=["8b", "1b"])
+    args = parser.parse_args()
+    bench_1b() if args.model == "1b" else bench_8b()
 
 
 if __name__ == "__main__":

@@ -540,10 +540,20 @@ def _make_flash(scale: float, causal: bool, has_seg: bool, has_prefix: bool, bq:
 
 
 def _pick_block(s: int, target: int) -> int | None:
-    for b in (target, 512, 256, 128):
+    # 32/64 only ever picked via the GQA row cap (group >= 16); Mosaic needs the
+    # sublane block dim % 8
+    for b in (target, 512, 256, 128, 64, 32):
         if b <= s and s % b == 0:
             return b
     return None
+
+
+def _pick_bq(sq: int, block_q: int, group: int) -> int | None:
+    """Query block capped so group*bq <= 1024 rows per grid cell: the per-cell fp32
+    [group*bq, bk] logit tiles blow the ~16 MB scoped-VMEM limit beyond that
+    (observed at 8B: group=4, bq=512 -> 23.3 MB stack allocation). Holds for every
+    group factor incl. MQA (group=32 -> bq=32)."""
+    return _pick_block(sq, min(block_q, max(32, 1024 // max(group, 1))))
 
 
 def flash_attention(
@@ -568,12 +578,7 @@ def flash_attention(
     mi = mask_info or MaskInfo(causal=False)
     B, Sq, Hq, D = q.shape
     _, Skv, Hkv, _ = k.shape
-    # one grid cell carries the whole GQA group (group*bq rows), so the per-cell fp32
-    # [group*bq, bk] logit tiles scale with the group factor — cap group*bq at 1024
-    # rows or the backward blows the ~16 MB scoped-VMEM limit (observed at 8B:
-    # group=4, bq=512 → 23.3 MB stack allocation)
-    group_f = max(1, Hq // max(Hkv, 1))
-    bq = _pick_block(Sq, min(block_q, max(128, 1024 // group_f)))
+    bq = _pick_bq(Sq, block_q, Hq // max(Hkv, 1)) if Hkv and Hq % Hkv == 0 else None
     bk = _pick_block(Skv, block_kv)
     unsupported = (
         (jax.default_backend() != "tpu" and not INTERPRET)

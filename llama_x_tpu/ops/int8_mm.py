@@ -5,7 +5,15 @@ TPU-native counterpart of the reference's only hand-written kernel, the Triton
 accumulation, epilogue multiplies by row_scale[M] x col_scale[N] and casts to the output
 dtype. The grouped-M swizzle / L2 tricks of the Triton kernel don't transfer — on TPU the
 grid is pipelined through VMEM by the Mosaic compiler; we tile (M, N, K) with K innermost
-and accumulate in an fp32-free int32 VMEM scratch.
+and accumulate in an int32 VMEM scratch.
+
+Two weight layouts share one implementation (``b_nk`` flag):
+- KN: b [K, N], the plain-GEMM orientation.
+- NK: b [N, K] — the quantized-linear layout (int_data is stored [out, in]). Consuming
+  it untransposed (contraction on dim 1, native on the MXU) keeps ONE layout for every
+  use of the frozen base; with a graph-level ``int_data.T`` XLA hoists the transpose out
+  of the layer scan and materializes layout-converted copies of the whole stacked weight
+  array — ~4.8 GB of HLO temps at 8B, the difference between fitting a 16 GB chip and OOM.
 """
 
 from __future__ import annotations
@@ -45,95 +53,30 @@ def _kernel(a_ref, b_ref, rs_ref, cs_ref, out_ref, acc_ref, *, b_nk=False):
         out_ref[:] = scaled.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype", "block_m", "block_n", "block_k"))
-def int8_mm_dequant_pallas(
-    a_i8: jnp.ndarray,
-    b_i8: jnp.ndarray,
-    row_scale: jnp.ndarray,
-    col_scale: jnp.ndarray,
-    out_dtype=jnp.bfloat16,
-    block_m: int = 512,
-    block_n: int = 512,
-    block_k: int = 2048,
-):
-    # Block defaults tuned on v5e (4096^3 sweep): large K-depth amortizes the int32
-    # accumulator traffic — (512, 512, 2048) hits 64-69 TOPS vs 39 at (256, 256, 512),
-    # beating XLA's unfused dot+dequant (44 TOPS) with the epilogue for free.
-    """a_i8 [M, K] @ b_i8 [K, N] -> [M, N] out_dtype, dequantized by row/col scales.
-
-    Shapes must be multiples of the int8 tile (32, 128); the callers (quantized linears)
-    guarantee this for all Llama projection shapes. Falls back to XLA otherwise.
-    """
+def _int8_mm_call(a_i8, b_i8, row_scale, col_scale, out_dtype, block_m, block_n, block_k, b_nk):
     M, K = a_i8.shape
-    K2, N = b_i8.shape
-    assert K == K2, (a_i8.shape, b_i8.shape)
+    N = b_i8.shape[0] if b_nk else b_i8.shape[1]
+    assert K == (b_i8.shape[1] if b_nk else b_i8.shape[0]), (a_i8.shape, b_i8.shape)
 
     bm, bn, bk = min(block_m, M), min(block_n, N), min(block_k, K)
     if M % bm or N % bn or K % bk or bm % 32 or bn % 128 or bk % 128:
-        from llama_x_tpu.ops.int8 import _int8_mm_dequant_xla
+        from llama_x_tpu.ops import int8 as _xla
 
-        return _int8_mm_dequant_xla(a_i8, b_i8, row_scale, col_scale, out_dtype)
+        fallback = _xla._int8_mm_dequant_nt_xla if b_nk else _xla._int8_mm_dequant_xla
+        return fallback(a_i8, b_i8, row_scale, col_scale, out_dtype)
 
+    b_spec = (
+        pl.BlockSpec((bn, bk), lambda i, j, k: (j, k))
+        if b_nk
+        else pl.BlockSpec((bk, bn), lambda i, j, k: (k, j))
+    )
     grid = (M // bm, N // bn, K // bk)
     return pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, b_nk=b_nk),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
-            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
-            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0)),
-            pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
-        ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * M * N * K,
-            bytes_accessed=M * K + K * N + M * N * 2,
-            transcendentals=0,
-        ),
-    )(a_i8, b_i8, row_scale.reshape(M, 1), col_scale.reshape(1, N))
-
-
-@functools.partial(jax.jit, static_argnames=("out_dtype", "block_m", "block_n", "block_k"))
-def int8_mm_dequant_nt_pallas(
-    a_i8: jnp.ndarray,
-    b_nk_i8: jnp.ndarray,
-    row_scale: jnp.ndarray,
-    col_scale: jnp.ndarray,
-    out_dtype=jnp.bfloat16,
-    block_m: int = 512,
-    block_n: int = 512,
-    block_k: int = 2048,
-):
-    """a_i8 [M, K] x b_nk_i8 [N, K] -> [M, N]: the quantized-linear layout.
-
-    Weights live as int_data [out, in]; consuming them untransposed (contraction on
-    dim 1, native on the MXU) keeps ONE layout for every use of the frozen base. With
-    the transposing variant XLA hoists `int_data.T` out of the layer scan and
-    materializes layout-converted copies of the whole stacked weight array — ~4.8 GB
-    of HLO temps at 8B, the difference between fitting a 16 GB chip and OOM.
-    """
-    M, K = a_i8.shape
-    N, K2 = b_nk_i8.shape
-    assert K == K2, (a_i8.shape, b_nk_i8.shape)
-
-    bm, bn, bk = min(block_m, M), min(block_n, N), min(block_k, K)
-    if M % bm or N % bn or K % bk or bm % 32 or bn % 128 or bk % 128:
-        from llama_x_tpu.ops.int8 import _int8_mm_dequant_nt_xla
-
-        return _int8_mm_dequant_nt_xla(a_i8, b_nk_i8, row_scale, col_scale, out_dtype)
-
-    grid = (M // bm, N // bn, K // bk)
-    return pl.pallas_call(
-        functools.partial(_kernel, b_nk=True),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
-            pl.BlockSpec((bn, bk), lambda i, j, k: (j, k)),
+            b_spec,
             pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0)),
             pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
         ],
@@ -148,4 +91,41 @@ def int8_mm_dequant_nt_pallas(
             bytes_accessed=M * K + N * K + M * N * 2,
             transcendentals=0,
         ),
-    )(a_i8, b_nk_i8, row_scale.reshape(M, 1), col_scale.reshape(1, N))
+    )(a_i8, b_i8, row_scale.reshape(M, 1), col_scale.reshape(1, N))
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "block_m", "block_n", "block_k"))
+def int8_mm_dequant_pallas(
+    a_i8: jnp.ndarray,
+    b_i8: jnp.ndarray,
+    row_scale: jnp.ndarray,
+    col_scale: jnp.ndarray,
+    out_dtype=jnp.bfloat16,
+    block_m: int = 512,
+    block_n: int = 512,
+    block_k: int = 2048,
+):
+    """a_i8 [M, K] @ b_i8 [K, N] -> [M, N] out_dtype, dequantized by row/col scales.
+
+    Block defaults tuned on v5e (4096^3 sweep): large K-depth amortizes the int32
+    accumulator traffic — (512, 512, 2048) hits 64-69 TOPS vs 39 at (256, 256, 512),
+    beating XLA's unfused dot+dequant (44 TOPS) with the epilogue for free. Shapes must
+    be multiples of the int8 tile (32, 128); falls back to XLA otherwise.
+    """
+    return _int8_mm_call(a_i8, b_i8, row_scale, col_scale, out_dtype, block_m, block_n, block_k, b_nk=False)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "block_m", "block_n", "block_k"))
+def int8_mm_dequant_nt_pallas(
+    a_i8: jnp.ndarray,
+    b_nk_i8: jnp.ndarray,
+    row_scale: jnp.ndarray,
+    col_scale: jnp.ndarray,
+    out_dtype=jnp.bfloat16,
+    block_m: int = 512,
+    block_n: int = 512,
+    block_k: int = 2048,
+):
+    """a_i8 [M, K] x b_nk_i8 [N, K] -> [M, N]: the quantized-linear layout (see module
+    docstring — this orientation is what keeps the 8B frozen base copy-free)."""
+    return _int8_mm_call(a_i8, b_nk_i8, row_scale, col_scale, out_dtype, block_m, block_n, block_k, b_nk=True)

@@ -251,9 +251,8 @@ def ring_attention(
         from llama_x_tpu.ops import flash_attention as fa
 
         n_dev = jax.lax.axis_size(axis_name)
-        # cap group*bq rows per grid cell (scoped-VMEM limit — see fa.flash_attention)
-        group = Hq // k.shape[2]
-        bq = fa._pick_block(S_local, min(512, max(128, 1024 // max(group, 1))))
+        # cap group*bq rows per grid cell (scoped-VMEM limit — see fa._pick_bq)
+        bq = fa._pick_bq(S_local, 512, Hq // k.shape[2])
         bk = fa._pick_block(S_local, 1024)
         has_seg = mi.segment_ids is not None
         has_prefix = mi.prefix_len is not None

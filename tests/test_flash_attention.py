@@ -71,6 +71,21 @@ def test_flash_gqa_grouping(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3, rtol=1e-2)
 
 
+def test_flash_wide_gqa_row_cap(rng):
+    """group=16 (MQA-adjacent) must shrink bq so group*bq <= 1024 (the scoped-VMEM
+    cap) and still match the oracle — incl. grads through the fused backward."""
+    assert fa._pick_bq(128, 512, 16) == 64
+    assert fa._pick_bq(128, 512, 32) == 32
+    q, k, v = _qkv(rng, B=1, Hq=16, Hkv=1, S=128)
+    mi = MaskInfo(causal=True)
+    out = fa.flash_attention(q, k, v, mi)
+    ref = dot_product_attention(q, k, v, mi)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3, rtol=1e-2)
+    g1 = jax.grad(lambda q: jnp.sum(fa.flash_attention(q, k, v, mi).astype(jnp.float32) ** 2))(q)
+    g2 = jax.grad(lambda q: jnp.sum(dot_product_attention(q, k, v, mi).astype(jnp.float32) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=5e-2, rtol=5e-2)
+
+
 def test_flash_fallback_on_unaligned():
     """Non-128-multiple seq len must route to the XLA path, not crash."""
     rng = np.random.default_rng(0)

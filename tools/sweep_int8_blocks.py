@@ -1,8 +1,9 @@
 """Block-size sweep for the Pallas int8 NT GEMM on the 8B bench's actual shapes.
 
-The (512, 512, 2048) default was tuned on a square 4096^3 sweep (r1); the 8B step's
-GEMMs are skinny/fat (N=14336 MLP up, K=14336 MLP down, N=1024 kv proj) — this sweeps
-the NT kernel per shape and prints the best config, to re-tune defaults with evidence.
+Measurement note: a single dispatch through the tunneled TPU costs ~7 ms — far more
+than any one GEMM — so each timing jits ONE program that ``lax.scan``s the kernel over
+a stack of DIFFERENT weights (mirroring the model's layer scan; no CSE possible) and
+divides by the stack depth. ±10% run-to-run variance remains (CLAUDE.md).
 
 usage: PYTHONPATH=/root/.axon_site:/root/repo python tools/sweep_int8_blocks.py
 """
@@ -23,15 +24,32 @@ SHAPES = [  # (M, K, N) for out[M,N] = a[M,K] @ w[N,K].T — the 8B S=4096 proje
     ("w2   4096x14336x4096", 4096, 14336, 4096),
 ]
 BLOCKS_M = (256, 512, 1024)
-BLOCKS_N = (256, 512, 1024, 2048)
+BLOCKS_N = (256, 512, 1024)
 BLOCKS_K = (1024, 2048, 4096)
+REPS = 8
+
+
+def _timed_scan(a, ws, rs, cs, bm, bn, bk):
+    @jax.jit
+    def prog(a, ws):
+        def body(c, wi):
+            out = int8_mm_dequant_nt_pallas(a, wi, rs, cs, block_m=bm, block_n=bn, block_k=bk)
+            return c + out[0, 0].astype(jnp.float32), None
+
+        out, _ = jax.lax.scan(body, jnp.float32(0), ws)
+        return out
+
+    float(prog(a, ws))  # compile + sync
+    t0 = time.perf_counter()
+    float(prog(a, ws))
+    return (time.perf_counter() - t0) / ws.shape[0]
 
 
 def main():
     rng = np.random.default_rng(0)
     for name, M, K, N in SHAPES:
         a = jnp.asarray(rng.integers(-127, 128, (M, K)), jnp.int8)
-        w = jnp.asarray(rng.integers(-127, 128, (N, K)), jnp.int8)
+        ws = jnp.asarray(rng.integers(-127, 128, (REPS, N, K)), jnp.int8)
         rs = jnp.ones((M,), jnp.bfloat16)
         cs = jnp.ones((N,), jnp.bfloat16)
         results = []
@@ -39,13 +57,7 @@ def main():
             if M % bm or N % bn or K % bk:
                 continue
             try:
-                out = int8_mm_dequant_nt_pallas(a, w, rs, cs, block_m=bm, block_n=bn, block_k=bk)
-                float(jnp.sum(out.astype(jnp.float32)))  # sync (block_until_ready lies on axon)
-                t0 = time.perf_counter()
-                for _ in range(5):
-                    out = int8_mm_dequant_nt_pallas(a, w, rs, cs, block_m=bm, block_n=bn, block_k=bk)
-                float(jnp.sum(out.astype(jnp.float32)))
-                dt = (time.perf_counter() - t0) / 5
+                dt = _timed_scan(a, ws, rs, cs, bm, bn, bk)
                 tops = 2 * M * N * K / dt / 1e12
                 results.append((tops, (bm, bn, bk)))
                 print(f"  {name} blocks {bm:5d} {bn:5d} {bk:5d}: {tops:6.1f} TOPS", flush=True)

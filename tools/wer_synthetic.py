@@ -12,8 +12,10 @@ WER is measured with the production path at every stage:
     -> train/wer.py corpus WER
 
 The artifact (runs/wer_synthetic/wer.json) records WER before and after training:
-an untrained model scores ~1.0; the trained model must transcribe held-out tone
-sequences it never saw, which is only possible by attending to the audio prefix.
+an untrained model scores ~1.0. Train and eval draw from DISJOINT combination spaces
+(eval = tone triples whose index sum is 0 mod 4; training rejection-samples those
+out), so the trained model has never seen any eval sequence — scoring well requires
+transcribing each tone from the audio prefix, not replaying memorized triples.
 
 usage: PYTHONPATH=/root/.axon_site:/root/repo python tools/wer_synthetic.py
        (add --steps/--eval_utts to resize; CPU-runnable with JAX_PLATFORMS=cpu)
@@ -48,9 +50,17 @@ SR = 16_000
 TEXT_LEN = 32  # bos + "alpha bravo charlie" + eos fits with margin
 
 
-def make_utterance(rng: np.random.Generator):
-    """Random tone sequence -> (waveform [T], transcript str)."""
-    idx = rng.integers(0, len(WORDS), WORDS_PER_UTT)
+def make_utterance(rng: np.random.Generator, split: str = "train"):
+    """Random tone sequence -> (waveform [T], transcript str).
+
+    split partitions the 8^3 combination space disjointly: "eval" keeps only triples
+    with sum(idx) % 4 == 0 (1/4 of the space), "train" rejection-samples those out —
+    no eval sequence ever appears in training."""
+    while True:
+        idx = rng.integers(0, len(WORDS), WORDS_PER_UTT)
+        held_out = int(idx.sum()) % 4 == 0
+        if held_out == (split == "eval"):
+            break
     t = np.arange(int(TONE_SECS * SR)) / SR
     tones = [np.sin(2 * np.pi * FREQS[i] * t) * 0.3 for i in idx]
     return np.concatenate(tones).astype(np.float32), " ".join(WORDS[i] for i in idx)
@@ -69,7 +79,7 @@ def batches(rng, tok, batch_size):
     while True:
         audio, tokens, labels = [], [], []
         for _ in range(batch_size):
-            wav, text = make_utterance(rng)
+            wav, text = make_utterance(rng, split="train")
             t, l = encode_text(tok, text)
             audio.append(wav)
             tokens.append(t)
@@ -89,7 +99,7 @@ def eval_wer(params, config, audio_config, tok, rng, n_utts):
     refs, hyps = [], []
     embed_dtype = params["tok_embeddings"]["weight"].dtype
     for _ in range(n_utts):
-        wav, text = make_utterance(rng)
+        wav, text = make_utterance(rng, split="eval")
         prefix = audio_mod.audio_embed(
             params["audio_embed"], audio_config, jnp.asarray(wav[None]), dtype=embed_dtype
         )
@@ -163,7 +173,8 @@ def main():
         print(f"  ref: {r!r}  hyp: {h!r}")
 
     artifact = {
-        "task": "synthetic tone-sequence ASR (8 words x 3 tones, held-out eval)",
+        "task": "synthetic tone-sequence ASR (8 words x 3 tones; eval combos disjoint "
+        "from training: sum(idx) % 4 == 0 never trained on)",
         "wer_before": round(wer_init, 4),
         "wer_after": round(wer_final, 4),
         "steps": args.steps,
