@@ -53,11 +53,23 @@ def _kernel(a_ref, b_ref, rs_ref, cs_ref, out_ref, acc_ref, *, b_nk=False):
         out_ref[:] = scaled.astype(out_ref.dtype)
 
 
+def _default_blocks(M: int, N: int, K: int) -> tuple[int, int, int]:
+    """Shape-keyed defaults from the v5e differential sweep on the 8B projections
+    (tools/sweep_int8_blocks.py): for K <= 4096 a single K-step (bk = K) wins — the
+    int32 accumulator is never revisited — 369 vs 289 TOPS on the MLP-up shape; for
+    deep K (MLP-down, K=14336) large square blocks with bk=1024 win (339 TOPS)."""
+    if K <= 4096:
+        return 512, 512, K
+    return 1024, 1024, 1024
+
+
 def _int8_mm_call(a_i8, b_i8, row_scale, col_scale, out_dtype, block_m, block_n, block_k, b_nk):
     M, K = a_i8.shape
     N = b_i8.shape[0] if b_nk else b_i8.shape[1]
     assert K == (b_i8.shape[1] if b_nk else b_i8.shape[0]), (a_i8.shape, b_i8.shape)
 
+    if block_m is None:
+        block_m, block_n, block_k = _default_blocks(M, N, K)
     bm, bn, bk = min(block_m, M), min(block_n, N), min(block_k, K)
     if M % bm or N % bn or K % bk or bm % 32 or bn % 128 or bk % 128:
         from llama_x_tpu.ops import int8 as _xla
@@ -101,16 +113,15 @@ def int8_mm_dequant_pallas(
     row_scale: jnp.ndarray,
     col_scale: jnp.ndarray,
     out_dtype=jnp.bfloat16,
-    block_m: int = 512,
-    block_n: int = 512,
-    block_k: int = 2048,
+    block_m: int | None = None,
+    block_n: int | None = None,
+    block_k: int | None = None,
 ):
     """a_i8 [M, K] @ b_i8 [K, N] -> [M, N] out_dtype, dequantized by row/col scales.
 
-    Block defaults tuned on v5e (4096^3 sweep): large K-depth amortizes the int32
-    accumulator traffic — (512, 512, 2048) hits 64-69 TOPS vs 39 at (256, 256, 512),
-    beating XLA's unfused dot+dequant (44 TOPS) with the epilogue for free. Shapes must
-    be multiples of the int8 tile (32, 128); falls back to XLA otherwise.
+    Blocks default to the shape-keyed sweep result (_default_blocks; ~250-370 TOPS on
+    the 8B projection shapes, differential timing). Shapes must be multiples of the
+    int8 tile (32, 128); falls back to XLA otherwise.
     """
     return _int8_mm_call(a_i8, b_i8, row_scale, col_scale, out_dtype, block_m, block_n, block_k, b_nk=False)
 
@@ -122,9 +133,9 @@ def int8_mm_dequant_nt_pallas(
     row_scale: jnp.ndarray,
     col_scale: jnp.ndarray,
     out_dtype=jnp.bfloat16,
-    block_m: int = 512,
-    block_n: int = 512,
-    block_k: int = 2048,
+    block_m: int | None = None,
+    block_n: int | None = None,
+    block_k: int | None = None,
 ):
     """a_i8 [M, K] x b_nk_i8 [N, K] -> [M, N]: the quantized-linear layout (see module
     docstring — this orientation is what keeps the 8B frozen base copy-free)."""
