@@ -20,11 +20,47 @@ ModelProto fields used (sentencepiece_model.proto, public schema):
 
 from __future__ import annotations
 
+import ctypes
+import functools
 import heapq
 import struct
+import subprocess
 from dataclasses import dataclass
+from pathlib import Path
 
 _SPACE = "▁"  # ▁
+
+# ---------------------------------------------------------------------------
+# native encoder (native/spmenc.cc) — the hot encode loop at C++ speed; the pure-
+# Python implementations below stay as the semantics oracle (tests compare both)
+# ---------------------------------------------------------------------------
+
+_SRC = Path(__file__).resolve().parents[2] / "native" / "spmenc.cc"
+_LIB = _SRC.parent / "libspmenc.so"
+
+
+@functools.lru_cache(maxsize=1)
+def _native_lib():
+    """Build-on-first-use like the FLAC decoder (data/flac.py); None if unavailable."""
+    try:
+        if not (_LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", str(_SRC), "-o", str(_LIB)],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(str(_LIB))
+        lib.spm_create.restype = ctypes.c_void_p
+        lib.spm_create.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
+        lib.spm_free.argtypes = [ctypes.c_void_p]
+        for fn in (lib.spm_encode_unigram, lib.spm_encode_bpe):
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_uint64,
+            ]
+        return lib
+    except Exception:
+        return None
 
 # SentencePiece.Type values
 NORMAL, UNKNOWN, CONTROL, USER_DEFINED, UNUSED, BYTE = 1, 2, 3, 4, 5, 6
@@ -111,6 +147,27 @@ class SentencePieceModel:
             int(p.text[3:5], 16): i for i, p in enumerate(self.pieces) if p.type == BYTE
         }
         self._max_piece_len = max((len(p.text) for p in self.pieces), default=1)
+        self._native = None  # lazily-created native handle (see _native_handle)
+
+    def _native_handle(self):
+        """ctypes handle to the C++ encoder, or None (falls back to pure Python)."""
+        if self._native is None:
+            lib = _native_lib()
+            if lib is None:
+                self._native = (None, None)
+            else:
+                parts = [struct.pack("<I", len(self.pieces))]
+                for p in self.pieces:
+                    raw = p.text.encode("utf-8")
+                    parts.append(struct.pack("<fBI", p.score, p.type, len(raw)) + raw)
+                blob = b"".join(parts)
+                self._native = (lib, lib.spm_create(blob, len(blob)))
+        return self._native
+
+    def __del__(self):
+        native = getattr(self, "_native", None)
+        if native and native[0] is not None:
+            native[0].spm_free(native[1])
 
     @classmethod
     def from_file(cls, path: str) -> "SentencePieceModel":
@@ -137,6 +194,15 @@ class SentencePieceModel:
         if not text:
             return []
         norm = self._normalize(text)
+        lib, handle = self._native_handle()
+        if lib is not None:
+            raw = norm.encode("utf-8")
+            cap = len(raw) + 8
+            out = (ctypes.c_int32 * cap)()
+            fn = lib.spm_encode_bpe if self.model_type == 2 else lib.spm_encode_unigram
+            n = fn(handle, raw, len(raw), out, cap)
+            if n >= 0:
+                return list(out[:n])
         if self.model_type == 2:  # BPE
             return self._encode_bpe(norm)
         return self._encode_unigram(norm)

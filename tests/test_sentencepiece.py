@@ -106,3 +106,33 @@ def test_llama2_tokenizer_wrapper(tmp_path):
     assert ids[0] == tok.bos_id and ids[-1] == tok.eos_id
     assert tok.decode(ids) == "hello"  # control tokens skipped by the reader
     assert tok.vocab_size == len(_bpe_pieces())
+
+
+def test_native_encoder_matches_python_fuzz():
+    """The C++ encoder (native/spmenc.cc) must reproduce the pure-Python oracle
+    byte-for-byte on both model types, including byte-fallback spans."""
+    import random
+
+    from llama_x_tpu.data import sentencepiece as sp
+
+    random.seed(0)
+    words = ["hello", "world", "the", "of", "and", "héllo", "日本", "a", "zz"]
+
+    # unigram model with partial coverage (forces unk/byte-fallback paths)
+    uni = [("<unk>", 0.0, UNKNOWN)]
+    frags = {"▁hello", "▁world", "▁the", "▁of", "▁and", "▁a", "hel", "lo", "wor", "ld",
+             "th", "e", "o", "f", "an", "d", "a", "▁", "h", "l", "w", "r", "n"}
+    uni += [(t, -float(len(t)), NORMAL) for t in sorted(frags)]
+    uni += [(f"<0x{b:02X}>", 0.0, BYTE) for b in range(256)]
+    m_uni = SentencePieceModel(_model(uni, model_type=1))
+
+    m_bpe = SentencePieceModel(_model(_bpe_pieces(), model_type=2))
+
+    for m in (m_uni, m_bpe):
+        lib, handle = m._native_handle()
+        assert lib is not None, "native encoder failed to build"
+        for _ in range(50):
+            text = " ".join(random.choices(words, k=random.randint(1, 12)))
+            native = m.encode(text)
+            oracle = (m._encode_bpe if m.model_type == 2 else m._encode_unigram)(m._normalize(text))
+            assert native == oracle, (text, native, oracle)

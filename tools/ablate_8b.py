@@ -1,0 +1,75 @@
+"""8B bench knob ablation: step time under remat-policy / CE-chunk variants.
+
+Runs the exact bench.py 8B QLoRA prefix-LM step with one knob changed at a time and
+prints a table — the evidence behind the defaults (remat_policy="flash",
+fused_ce_chunks=8). Variants that OOM are reported as such (that is the datum:
+e.g. "dots_flash" does not fit 8B at S=4096 on 16 GB).
+
+usage: PYTHONPATH=/root/.axon_site:/root/repo python tools/ablate_8b.py
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import bench
+
+
+def step_time(config_overrides: dict, n_iters: int = 6) -> float:
+    from llama_x_tpu.models import audio as audio_mod
+    from llama_x_tpu.train.optim import get_optimizer
+    from llama_x_tpu.train.trainer import init_train_state, make_train_step
+
+    config, audio_config, params, mask = bench.build_8b_qlora()
+    config = config.replace(**config_overrides)
+
+    audio_secs = 40.0
+    text_len = config.max_seq_len - audio_config.num_audio_tokens(int(audio_secs * 16_000))
+
+    def loss_fn(p, mb):
+        loss = audio_mod.forward(
+            p, config, audio_config, mb["audio"], mb["tokens"], labels=mb["labels"], prefix_lm=True
+        )
+        return loss, jnp.sum(mb["labels"] != -100)
+
+    tx = get_optimizer("AdamW", 1e-4)
+    state = init_train_state(params, mask, tx)
+    step = jax.jit(make_train_step(loss_fn, tx), donate_argnums=(0,))
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "audio": jnp.asarray(rng.standard_normal((1, 1, int(audio_secs * 16_000))).astype(np.float32) * 0.1),
+        "tokens": jnp.asarray(rng.integers(1, config.vocab_size, (1, 1, text_len)).astype(np.int32)),
+        "labels": jnp.asarray(rng.integers(1, config.vocab_size, (1, 1, text_len)).astype(np.int32)),
+    }
+    state, metrics = step(state, batch)
+    float(metrics["loss"])  # compile + sync (block_until_ready lies on axon)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, metrics = step(state, batch)
+    float(metrics["loss"])
+    return (time.perf_counter() - t0) / n_iters
+
+
+VARIANTS = [
+    ("baseline (flash remat, ce_chunks=8)", {}),
+    ("ce_chunks=4", {"fused_ce_chunks": 4}),
+    ("ce_chunks=16", {"fused_ce_chunks": 16}),
+    ("remat=dots_flash", {"remat_policy": "dots_flash"}),
+]
+
+
+def main():
+    for name, overrides in VARIANTS:
+        try:
+            dt = step_time(overrides)
+            print(f"{name:42s} {dt*1e3:8.1f} ms/step", flush=True)
+        except Exception as e:
+            msg = str(e).splitlines()[0][:80] if str(e) else type(e).__name__
+            print(f"{name:42s} FAIL: {msg}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
