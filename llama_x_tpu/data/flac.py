@@ -16,16 +16,10 @@ from pathlib import Path
 
 import numpy as np
 
-_SRC = Path(__file__).resolve().parents[2] / "native" / "flacdec.cc"
-_LIB = _SRC.parent / "libflacdec.so"
-
-
 def _build() -> Path:
-    if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
-        return _LIB
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", str(_SRC), "-o", str(_LIB)]
-    subprocess.run(cmd, check=True, capture_output=True)
-    return _LIB
+    from llama_x_tpu.utils.native import build_native
+
+    return build_native("flacdec.cc", "libflacdec.so")
 
 
 @functools.lru_cache(maxsize=1)

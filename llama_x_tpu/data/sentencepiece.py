@@ -24,9 +24,7 @@ import ctypes
 import functools
 import heapq
 import struct
-import subprocess
 from dataclasses import dataclass
-from pathlib import Path
 
 _SPACE = "▁"  # ▁
 
@@ -35,20 +33,13 @@ _SPACE = "▁"  # ▁
 # Python implementations below stay as the semantics oracle (tests compare both)
 # ---------------------------------------------------------------------------
 
-_SRC = Path(__file__).resolve().parents[2] / "native" / "spmenc.cc"
-_LIB = _SRC.parent / "libspmenc.so"
-
-
 @functools.lru_cache(maxsize=1)
 def _native_lib():
-    """Build-on-first-use like the FLAC decoder (data/flac.py); None if unavailable."""
+    """Build-on-first-use (shared helper with the FLAC decoder); None if unavailable."""
     try:
-        if not (_LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime):
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", str(_SRC), "-o", str(_LIB)],
-                check=True, capture_output=True,
-            )
-        lib = ctypes.CDLL(str(_LIB))
+        from llama_x_tpu.utils.native import build_native
+
+        lib = ctypes.CDLL(str(build_native("spmenc.cc", "libspmenc.so")))
         lib.spm_create.restype = ctypes.c_void_p
         lib.spm_create.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
         lib.spm_free.argtypes = [ctypes.c_void_p]

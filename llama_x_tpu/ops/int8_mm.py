@@ -68,8 +68,8 @@ def _int8_mm_call(a_i8, b_i8, row_scale, col_scale, out_dtype, block_m, block_n,
     N = b_i8.shape[0] if b_nk else b_i8.shape[1]
     assert K == (b_i8.shape[1] if b_nk else b_i8.shape[0]), (a_i8.shape, b_i8.shape)
 
-    if block_m is None:
-        block_m, block_n, block_k = _default_blocks(M, N, K)
+    dm, dn, dk = _default_blocks(M, N, K)
+    block_m, block_n, block_k = block_m or dm, block_n or dn, block_k or dk
     bm, bn, bk = min(block_m, M), min(block_n, N), min(block_k, K)
     if M % bm or N % bn or K % bk or bm % 32 or bn % 128 or bk % 128:
         from llama_x_tpu.ops import int8 as _xla

@@ -56,9 +56,10 @@ struct Model {
   std::vector<uint8_t> types;
   std::vector<std::string> texts;
   std::vector<TrieNode> trie;         // matching trie over NORMAL/USER_DEFINED pieces
-  std::unordered_map<std::string, int32_t> piece_to_id;  // first occurrence wins
+  std::unordered_map<std::string, int32_t> piece_to_id;  // LAST occurrence wins (≡ python dict comprehension)
   int32_t byte_ids[256];
   bool has_bytes = false;
+  bool seen_unk = false;
   int32_t unk_id = 0;
   double unk_penalty = -20.0;
 
@@ -137,7 +138,11 @@ void* spm_create(const uint8_t* blob, uint64_t blob_len) {
     off += len;
     m->scores.push_back(score);
     m->types.push_back(type);
-    if (type == kUnknown) m->unk_id = (int32_t)i;
+    // python: next(i for i, p in enumerate(pieces) if p.type == UNKNOWN) — FIRST wins
+    if (type == kUnknown && !m->seen_unk) {
+      m->unk_id = (int32_t)i;
+      m->seen_unk = true;
+    }
     if (type == kByte && len >= 5) {
       // "<0xAB>"
       auto hex = [](char c) { return c <= '9' ? c - '0' : (c | 32) - 'a' + 10; };

@@ -113,7 +113,12 @@ def test_native_encoder_matches_python_fuzz():
     byte-for-byte on both model types, including byte-fallback spans."""
     import random
 
+    import pytest
+
     from llama_x_tpu.data import sentencepiece as sp
+
+    if sp._native_lib() is None:
+        pytest.skip("g++ unavailable: native encoder cannot build (python path still works)")
 
     random.seed(0)
     words = ["hello", "world", "the", "of", "and", "héllo", "日本", "a", "zz"]
@@ -128,7 +133,13 @@ def test_native_encoder_matches_python_fuzz():
 
     m_bpe = SentencePieceModel(_model(_bpe_pieces(), model_type=2))
 
-    for m in (m_uni, m_bpe):
+    # degenerate vocab: multiple UNKNOWN pieces (first must win, = python next(...)),
+    # no byte pieces (unk fallback emits ONE id per uncovered span)
+    multi_unk = [("<unk>", 0.0, UNKNOWN), ("<unk2>", 0.0, UNKNOWN),
+                 ("▁a", -1.0, NORMAL), ("b", -2.0, NORMAL)]
+    m_multi = SentencePieceModel(_model(multi_unk, model_type=1))
+
+    for m in (m_uni, m_bpe, m_multi):
         lib, handle = m._native_handle()
         assert lib is not None, "native encoder failed to build"
         for _ in range(50):

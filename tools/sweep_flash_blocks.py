@@ -73,8 +73,9 @@ def main():
                     print(f"  {tag} bq={bq:4d} bk={bk:5d}: {dt*1e6:7.0f} us  (~{tf:5.1f} TFLOP/s)", flush=True)
                 except Exception as e:
                     print(f"  {tag} bq={bq:4d} bk={bk:5d}: FAIL {type(e).__name__}", flush=True)
-        results.sort()
-        print(f"BEST {tag}: {results[0][1]} -> {results[0][0]*1e6:.0f} us", flush=True)
+        if results:
+            results.sort()
+            print(f"BEST {tag}: {results[0][1]} -> {results[0][0]*1e6:.0f} us", flush=True)
 
 
 if __name__ == "__main__":
