@@ -5,6 +5,13 @@ prints a table — the evidence behind the defaults (remat_policy="flash",
 fused_ce_chunks=8). Variants that OOM are reported as such (that is the datum:
 e.g. "dots_flash" does not fit 8B at S=4096 on 16 GB).
 
+Measured (v5e, 2026-08-17, post GEMM retune):
+    baseline (flash remat, ce_chunks=8)   1110.5 ms/step
+    ce_chunks=4                           1108.3 ms/step   (tie, within noise)
+    ce_chunks=16                          1134.7 ms/step   (+2%)
+    remat=dots_flash                      FAIL (compile-time OOM: saving matmul
+                                          outputs does not fit 8B S=4096 in 16 GB)
+
 usage: PYTHONPATH=/root/.axon_site:/root/repo python tools/ablate_8b.py
 """
 
