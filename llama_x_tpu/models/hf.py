@@ -284,3 +284,151 @@ def load_llama(model_id_or_path: str, dtype=jnp.bfloat16, mesh=None, **config_ov
         node[path[-1]] = leaf
 
     return params, config
+
+
+# ---------------------------------------------------------------------------
+# export: params -> HF checkpoint (the inverse of load_llama)
+# ---------------------------------------------------------------------------
+
+_ST_DTYPES = {"bfloat16": "BF16", "float32": "F32", "float16": "F16"}
+
+
+def _write_safetensors(path: Path, tensors: dict[str, tuple[tuple[int, ...], str, object]]):
+    """Stream a safetensors file: tensors[name] = (shape, np_dtype_name, produce_fn).
+    produce_fn() is called once per tensor AT WRITE TIME, so peak host memory is one
+    tensor, not the model (mirrors the import's streaming economics)."""
+    import ml_dtypes  # noqa: F401  (np dtype registry for bfloat16)
+
+    itemsize = {"bfloat16": 2, "float32": 4, "float16": 2}
+    header: dict[str, dict] = {}
+    offset = 0
+    for name, (shape, dt, _) in tensors.items():
+        nbytes = int(np.prod(shape or (1,))) * itemsize[dt]
+        header[name] = {"dtype": _ST_DTYPES[dt], "shape": list(shape), "data_offsets": [offset, offset + nbytes]}
+        offset += nbytes
+    blob = json.dumps(header).encode("utf-8")
+    with open(path, "wb") as f:
+        f.write(len(blob).to_bytes(8, "little"))
+        f.write(blob)
+        for name, (shape, dt, produce) in tensors.items():
+            arr = np.ascontiguousarray(produce())
+            assert arr.shape == tuple(shape) and str(arr.dtype) == dt, (name, arr.shape, arr.dtype)
+            f.write(arr.tobytes())
+
+
+def _merged_kernel(lin: dict) -> jnp.ndarray:
+    """Linear leaf -> effective float kernel [..., in, out]: int8 dequantized, LoRA
+    delta added, DoRA column rescale applied (merge-for-export semantics)."""
+    from llama_x_tpu.adapters.lora import _dequant_stacked
+
+    w = _dequant_stacked(lin)  # [..., in, out] fp32
+    if "lora_a" in lin:
+        delta = (
+            lin["lora_a"].astype(jnp.float32) @ lin["lora_b"].astype(jnp.float32)
+        ) * lin["lora_scale"].astype(jnp.float32)
+        w_eff = w + delta
+    else:
+        w_eff = w
+    if "m" in lin:  # DoRA: out = (x @ (W + BAs)) * m / ||W + BAs||_col
+        norm = jnp.linalg.norm(w_eff, axis=-2, keepdims=True)
+        w_eff = w_eff * (lin["m"].astype(jnp.float32)[..., None, :] / norm)
+    return w_eff
+
+
+def save_llama_hf(params: dict, config: LlamaConfig, out_dir, dtype=jnp.bfloat16):
+    """Write an HF-format Llama checkpoint (config.json + model.safetensors) readable
+    by ``transformers`` and by :func:`load_llama` — the reference has no export path
+    at all (it torch.saves raw state dicts); this closes the round trip for users
+    moving between frameworks. int8 bases are dequantized and LoRA/DoRA adapters are
+    MERGED into the exported kernels."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    np_dtype = jnp.dtype(dtype)
+    dt_name = np_dtype.name
+
+    hf_config = {
+        "architectures": ["LlamaForCausalLM"],
+        "model_type": "llama",
+        "hidden_size": config.embed_dim,
+        "num_hidden_layers": config.num_layers,
+        "head_dim": config.head_dim,
+        "num_attention_heads": config.num_heads,
+        "num_key_value_heads": config.num_kv_heads,
+        "intermediate_size": config.intermediate_dim,
+        "vocab_size": config.vocab_size,
+        "max_position_embeddings": config.max_seq_len,
+        "rms_norm_eps": config.norm_eps,
+        "rope_theta": config.rope_base,
+        "tie_word_embeddings": bool(config.tied_embeddings),
+        "torch_dtype": {"bfloat16": "bfloat16", "float32": "float32", "float16": "float16"}[dt_name],
+    }
+    if config.is_llama3_1:
+        hf_config["rope_scaling"] = {
+            "rope_type": "llama3",
+            "factor": config.rope_scale_factor,
+            "low_freq_factor": config.rope_low_freq_factor,
+            "high_freq_factor": config.rope_high_freq_factor,
+            "original_max_position_embeddings": config.rope_old_context_len,
+        }
+    (out_dir / "config.json").write_text(json.dumps(hf_config, indent=1))
+
+    def np_of(x):
+        return np.asarray(x.astype(np_dtype))
+
+    tensors: dict[str, tuple[tuple[int, ...], str, object]] = {}
+
+    def add(name, shape, produce):
+        tensors[name] = (tuple(int(s) for s in shape), dt_name, produce)
+
+    emb = params["tok_embeddings"]["weight"]
+    add("model.embed_tokens.weight", emb.shape, lambda: np_of(emb))
+    add("model.norm.weight", params["norm"]["scale"].shape, lambda: np_of(params["norm"]["scale"]))
+    if not config.tied_embeddings:
+        out_k = params["output"]["kernel"]  # [D, V] -> lm_head [V, D]
+        add("lm_head.weight", out_k.shape[::-1], lambda: np_of(out_k.T))
+
+    # per-layer tensors: unstack the scan axis, merge adapters/quant, transpose
+    # kernels back to HF's [out, in]
+    inv_layer = {path: (suffix, transpose) for suffix, (path, transpose) in _LAYER_MAP.items()}
+    layers = params["layers"]
+    for path, (suffix, transpose) in sorted(inv_layer.items()):
+        node = layers
+        for k in path[:-1]:
+            node = node[k]
+        leaf_name = path[-1]
+        if leaf_name == "kernel":
+            lin = node  # whole linear dict (kernel|int_data + adapters)
+            merged_shape = _merged_kernel_shape(lin)  # (in, out)
+            for layer in range(config.num_layers):
+                add(
+                    f"model.layers.{layer}.{suffix}",
+                    (merged_shape[1], merged_shape[0]),  # HF [out, in]
+                    lambda lin=lin, layer=layer: np_of(_merged_kernel_layer(lin, layer).T),
+                )
+        else:
+            leaf = node[leaf_name]
+            for layer in range(config.num_layers):
+                add(
+                    f"model.layers.{layer}.{suffix}",
+                    leaf.shape[1:],
+                    lambda leaf=leaf, layer=layer: np_of(leaf[layer]),
+                )
+
+    _write_safetensors(out_dir / "model.safetensors", tensors)
+    return out_dir
+
+
+def _merged_kernel_shape(lin: dict) -> tuple[int, int]:
+    from llama_x_tpu.adapters.lora import _base_kernel_in_out
+
+    return _base_kernel_in_out(lin)
+
+
+def _merged_kernel_layer(lin: dict, layer: int) -> jnp.ndarray:
+    """One layer's effective [in, out] kernel (slices the stacked leaves first so only
+    one layer is ever dequantized/merged on host)."""
+    sliced = {k: v[layer] for k, v in lin.items() if hasattr(v, "shape") and v.ndim > 0}
+    for k in ("lora_scale",):  # 0-d per-layer? lora_scale is stacked [L] or scalar
+        if k in lin and getattr(lin[k], "ndim", 0) == 0:
+            sliced[k] = lin[k]
+    return _merged_kernel(sliced)
