@@ -14,6 +14,13 @@ Two weight layouts share one implementation (``b_nk`` flag):
   use of the frozen base; with a graph-level ``int_data.T`` XLA hoists the transpose out
   of the layer scan and materializes layout-converted copies of the whole stacked weight
   array — ~4.8 GB of HLO temps at 8B, the difference between fitting a 16 GB chip and OOM.
+
+Tried and REJECTED (measured, don't retry): fusing the dynamic activation quantization
+into this kernel (bf16 a in, rint(a/row_scale) per tile). It saves the separate XLA
+quantize pass (~15 GB HBM/step at 8B) but the per-tile quantize re-runs for every
+N-block that revisits the same a tile (N/bn = 28x on the MLP-up shape) and the f32
+staging triples the a tile's VMEM — 8B step regressed 1109 -> 1238 ms (60.6 -> 54.3%
+MFU). The two-step quantize-once path wins.
 """
 
 from __future__ import annotations
