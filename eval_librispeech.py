@@ -68,17 +68,21 @@ def main():
     parser.add_argument("--synthetic", type=int, default=0, help="N synthetic utterances (offline smoke)")
     args = parser.parse_args()
 
+    def find_saved_config(run_dir: Path):
+        """model_config.json sits in the run dir; --resume may point at the run dir
+        or at a step_NNNNNNNN checkpoint inside it. ONE owner for the probing."""
+        from llama_x_tpu.train.cli import load_model_config
+
+        return load_model_config(run_dir) or load_model_config(run_dir.parent)
+
     def restore_into(model):
         """Replace model params with a trained checkpoint's merged trainable+frozen
         tree (+ architecture from the run's model_config.json when available)."""
         from llama_x_tpu.train.checkpoint import latest_checkpoint, restore_params
-        from llama_x_tpu.train.cli import load_model_config
 
         run_dir = Path(args.resume)
         path = latest_checkpoint(run_dir) or run_dir
-        # model_config.json sits in the run dir; --resume may point at the run dir or
-        # at a step_NNNNNNNN checkpoint inside it
-        saved = load_model_config(run_dir) or load_model_config(run_dir.parent)
+        saved = find_saved_config(run_dir)
         if saved is not None:
             model.config = saved[0]
             if saved[1] is not None:
@@ -111,10 +115,7 @@ def main():
 
     tokenizer = get_tokenizer(args.tokenizer, args.tokenizer_path)
     resume_dir = Path(args.resume) if args.resume else None
-    has_saved_config = resume_dir is not None and (
-        (resume_dir / "model_config.json").exists()
-        or (resume_dir.parent / "model_config.json").exists()
-    )
+    has_saved_config = resume_dir is not None and find_saved_config(resume_dir) is not None
     if has_saved_config:
         # full architecture + weights from the run dir: no HF access needed
         model = restore_into(LlamaAudio({}, None))

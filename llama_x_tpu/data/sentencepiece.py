@@ -138,6 +138,7 @@ class SentencePieceModel:
             int(p.text[3:5], 16): i for i, p in enumerate(self.pieces) if p.type == BYTE
         }
         self._max_piece_len = max((len(p.text) for p in self.pieces), default=1)
+        self._unk_penalty = min((p.score for p in self.pieces if p.type == NORMAL), default=-10.0) - 10.0
         self._native = None  # lazily-created native handle (see _native_handle)
 
     def _native_handle(self):
@@ -253,7 +254,7 @@ class SentencePieceModel:
         best = [NEG] * (n + 1)
         back: list[tuple[int, int | None]] = [(0, None)] * (n + 1)
         best[0] = 0.0
-        unk_penalty = min((p.score for p in self.pieces if p.type == NORMAL), default=-10.0) - 10.0
+        unk_penalty = self._unk_penalty  # precomputed: O(vocab) scan does not belong per call
         for i in range(n):
             if best[i] == NEG:
                 continue

@@ -539,10 +539,8 @@ def _make_flash(scale: float, causal: bool, has_seg: bool, has_prefix: bool, bq:
     return f
 
 
-def _pick_block(s: int, target: int) -> int | None:
-    # 32/64 only ever picked via the GQA row cap (group >= 16); Mosaic needs the
-    # sublane block dim % 8
-    for b in (target, 512, 256, 128, 64, 32):
+def _pick_block(s: int, target: int, candidates: tuple = (512, 256, 128)) -> int | None:
+    for b in (target, *candidates):
         if b <= s and s % b == 0:
             return b
     return None
@@ -552,8 +550,11 @@ def _pick_bq(sq: int, block_q: int, group: int) -> int | None:
     """Query block capped so group*bq <= 1024 rows per grid cell: the per-cell fp32
     [group*bq, bk] logit tiles blow the ~16 MB scoped-VMEM limit beyond that
     (observed at 8B: group=4, bq=512 -> 23.3 MB stack allocation). Holds for every
-    group factor incl. MQA (group=32 -> bq=32)."""
-    return _pick_block(sq, min(block_q, max(32, 1024 // max(group, 1))))
+    group factor incl. MQA (group=32 -> bq=32). The 64/32 candidates exist ONLY for
+    this row cap — kv/default block picking keeps the swept >=128 set so odd sequence
+    lengths still take the XLA fallback rather than an unswept kernel config."""
+    cap = max(32, 1024 // max(group, 1))
+    return _pick_block(sq, min(block_q, cap), candidates=(512, 256, 128, 64, 32))
 
 
 def flash_attention(

@@ -105,19 +105,26 @@ def prefetch(it, depth: int = 2):
     import threading
 
     q: queue_mod.Queue = queue_mod.Queue(maxsize=depth)
+    _END = object()
 
     def worker():
+        # exceptions cross the thread boundary and re-raise in the consumer — a bare
+        # sentinel here would turn a data-pipeline failure into a silent end-of-data
+        # (the training loop would die with an unrelated StopIteration)
         try:
             for item in it:
                 q.put(item)
-        finally:
-            q.put(None)
+            q.put(_END)
+        except BaseException as e:  # noqa: BLE001
+            q.put(e)
 
     threading.Thread(target=worker, daemon=True).start()
     while True:
         item = q.get()
-        if item is None:
+        if item is _END:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 
