@@ -254,9 +254,16 @@ def bench_1b():
 def main():
     import argparse
 
+    from llama_x_tpu.utils.cache import enable_compilation_cache
+    from llama_x_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="8b", choices=["8b", "1b"])
     args = parser.parse_args()
+    # compile_s in the output JSON reflects the persistent cache state: ~10 min on a
+    # true cold start, seconds when ~/.cache/llama_x_tpu holds the executable
+    enable_compilation_cache()
     bench_1b() if args.model == "1b" else bench_8b()
 
 

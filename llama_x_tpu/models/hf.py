@@ -150,6 +150,9 @@ class _TensorIndex:
 
 _LAYER_RE = re.compile(r"^model\.layers\.(\d+)\.(.+)$")
 
+# non-parameter buffers to silently skip (present in many published checkpoints)
+_SKIP_BUFFERS = re.compile(r"(rotary_emb\.inv_freq|\.attn\.(bias|masked_bias))$")
+
 # hf suffix -> (tree path inside params["layers"], transpose?)
 _LAYER_MAP = {
     "self_attn.q_proj.weight": (("attention", "wq", "kernel"), True),
@@ -233,13 +236,31 @@ def load_llama(model_id_or_path: str, dtype=jnp.bfloat16, mesh=None, **config_ov
     # plan: target leaf path -> (shape, reader)
     per_layer: dict[tuple, dict[int, str]] = {}  # tree path -> {layer: hf key}
     top: dict[tuple, str] = {}
+    unmapped: list[str] = []
     for key in index.keys():
+        if _SKIP_BUFFERS.search(key):
+            continue  # non-parameter buffers many real checkpoints ship (Llama-2-era
+            # .bin files carry rotary_emb.inv_freq per layer — recomputed here)
         m = _LAYER_RE.match(key)
         if m:
-            path, _ = _LAYER_MAP[m.group(2)]
-            per_layer.setdefault(path, {})[int(m.group(1))] = key
-        else:
+            entry = _LAYER_MAP.get(m.group(2))
+            if entry is None:
+                unmapped.append(key)
+                continue
+            per_layer.setdefault(entry[0], {})[int(m.group(1))] = key
+        elif key in _TOP_MAP:
             top[_TOP_MAP[key][0]] = key
+        else:
+            unmapped.append(key)
+    if unmapped:
+        # one coherent error listing EVERYTHING unknown (≡ load_state_dict's unexpected
+        # keys report, /root/reference/modelling/llama.py:256-270) instead of a bare
+        # KeyError on the first one
+        raise ValueError(
+            f"{model_id_or_path}: {len(unmapped)} checkpoint key(s) do not map onto the "
+            f"Llama parameter tree: {sorted(unmapped)[:20]}"
+            + (" ..." if len(unmapped) > 20 else "")
+        )
 
     plan: dict[tuple, tuple[tuple[int, ...], object]] = {}
     for path, key in top.items():

@@ -175,6 +175,14 @@ def build_model_params(args, model_cls, mesh=None, **extra_config):
 
 
 def setup_mesh(args):
+    # single funnel for every trainer: turn the persistent compilation cache on before
+    # the first jit (the 8B step compiles for ~10 min cold on the tunneled backend;
+    # warm starts load from disk instead — utils/cache.py)
+    from llama_x_tpu.utils.cache import enable_compilation_cache
+    from llama_x_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+    enable_compilation_cache()
     return make_mesh(**args.mesh) if args.mesh else make_mesh(dp=len(jax.devices()))
 
 

@@ -1,0 +1,96 @@
+"""Config-time capability validation: reject unsupported flag/mesh/config combinations
+BEFORE any model build or compile.
+
+The reference validates nothing — unsupported combinations surface as deep stack traces
+mid-training. Here every trainer funnels through ``validate_launch`` (cheap, <1 s) right
+after argparse, and again through ``validate_model`` once the model config exists
+(still before the first trace). Each rejection carries the flag to change.
+
+VERDICT r2 #10: the class of failures behind "--attn_impl ring dies at
+models/llama.py:228 after model build" and "ring+dropout raises mid-trace".
+"""
+
+from __future__ import annotations
+
+import jax
+
+
+class LaunchConfigError(ValueError):
+    """An unsupported flag/mesh/model combination, detected before compile."""
+
+
+def _err(msg: str):
+    raise LaunchConfigError(msg)
+
+
+def validate_launch(args, mesh, *, modality: str = "text", max_seq_len: int | None = None):
+    """Argparse-time checks: flags vs mesh vs backend. ``modality`` is the trainer's
+    prefix modality ("text" | "audio" | "vision" | "omni")."""
+    if args.batch_size % args.gradient_accumulation != 0:
+        _err(
+            f"--batch_size {args.batch_size} must divide by --gradient_accumulation "
+            f"{args.gradient_accumulation}"
+        )
+
+    cp = mesh.shape.get("cp", 1)
+    pp = mesh.shape.get("pp", 1)
+    dp_size = mesh.shape.get("dp", 1) * mesh.shape.get("fsdp", 1)
+    micro_bs = args.batch_size // max(args.gradient_accumulation, 1)
+    if micro_bs % dp_size != 0:
+        _err(
+            f"per-accumulation batch {micro_bs} (--batch_size {args.batch_size} / "
+            f"--gradient_accumulation {args.gradient_accumulation}) must divide by the "
+            f"data-parallel mesh size dp*fsdp={dp_size}"
+        )
+
+    if args.attn_impl == "ring":
+        if cp <= 1:
+            _err(
+                '--attn_impl ring needs a context-parallel mesh axis: pass e.g. '
+                '--mesh \'{"cp": 2, ...}\' (ring attention shards the sequence over "cp")'
+            )
+        if max_seq_len is not None and max_seq_len % cp != 0:
+            _err(f"max_seq_len {max_seq_len} must divide by the cp axis ({cp}) for ring attention")
+        if pp > 1:
+            _err("--attn_impl ring cannot combine with a pp mesh axis (ring's shard_map cannot nest inside pipeline stages)")
+    elif cp > 1:
+        _err('a "cp" mesh axis requires --attn_impl ring (other attention paths never shard the sequence)')
+
+    if args.attn_impl == "flash" and jax.default_backend() != "tpu":
+        from llama_x_tpu.ops import flash_attention as fa
+
+        if not fa.INTERPRET:
+            _err(
+                f"--attn_impl flash needs a TPU backend (current: {jax.default_backend()}); "
+                "use 'auto' (falls back to xla) or 'xla'"
+            )
+
+
+
+def validate_model(config, mesh, args, *, modality: str = "text"):
+    """Model-config checks (config exists, nothing compiled yet)."""
+    cp = mesh.shape.get("cp", 1)
+    pp = mesh.shape.get("pp", 1)
+
+    if args.attn_impl == "ring":
+        if config.attn_dropout > 0.0:
+            _err(
+                f"attention dropout ({config.attn_dropout}) is not supported with "
+                "--attn_impl ring (the ring kernel has no in-kernel PRNG); drop the "
+                "dropout or use --attn_impl flash"
+            )
+        if config.max_seq_len % cp != 0:
+            _err(f"max_seq_len {config.max_seq_len} must divide by the cp axis ({cp})")
+
+    if pp > 1:
+        if config.num_layers % pp != 0:
+            _err(f"num_layers {config.num_layers} must divide by the pp axis ({pp})")
+        if config.attn_dropout > 0.0:
+            _err("attention dropout with pipeline parallelism is not supported yet (no per-stage rng plumbing); set attn_dropout=0")
+
+    if config.fused_ce_chunks < 0:
+        _err(f"--fused_ce_chunks must be >= 0, got {config.fused_ce_chunks}")
+
+    tp = mesh.shape.get("tp", 1)
+    if tp > 1 and (config.num_kv_heads % tp != 0):
+        _err(f"num_kv_heads {config.num_kv_heads} must divide by the tp axis ({tp}) for head-sharded attention")

@@ -109,3 +109,16 @@ def test_int8_nt_matches_transposed_xla():
     got = _int8_mm_dequant_nt_xla(a, b_nk, rs, cs, jnp.float32)
     want = _int8_mm_dequant_xla(a, b_nk.T, rs, cs, jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_decode_kernel_head_dim_64():
+    """hd=64 (TinyLlama-class geometry, the default --model) engages the kernel and
+    matches the oracle — the old D % 128 gate silently sent these to XLA."""
+    rng = np.random.default_rng(5)
+    q, k, v = _setup(rng, B=2, S_max=512, Hq=8, Hkv=2, D=64)
+    kv_len = jnp.asarray([33, 512], jnp.int32)
+    mi = MaskInfo(causal=True, kv_len=kv_len, q_positions=kv_len[:, None] - 1)
+    assert da.decode_supported(q.shape, k.shape, mi)
+    got = da.decode_attention(q, k, v, kv_len, 1.0 / 64**0.5)
+    want = _oracle(q, k, v, mi)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)

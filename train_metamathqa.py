@@ -30,7 +30,13 @@ from llama_x_tpu.train.cli import (
     save_model_config,
     setup_mesh_and_optimizer,
 )
-from llama_x_tpu.train.metrics import Profiler, RunLogger, Throughput, device_memory_stats
+from llama_x_tpu.train.metrics import (
+    Profiler,
+    RunLogger,
+    Throughput,
+    device_memory_stats,
+    step_memory_analysis,
+)
 from llama_x_tpu.train.trainer import init_train_state, make_train_step
 
 
@@ -46,16 +52,18 @@ def main():
     )
     args = parser.parse_args()
 
-    assert args.batch_size % args.gradient_accumulation == 0
     if args.profile:
         args.n_steps = min(args.n_steps, 10)
 
     from llama_x_tpu.train.cli import setup_mesh
+    from llama_x_tpu.train.validate import validate_launch, validate_model
 
     mesh = setup_mesh(args)
+    validate_launch(args, mesh, max_seq_len=args.max_seq_len)
     model, params, config, mask = build_model_params(
         args, llama.Llama, mesh=mesh, max_seq_len=args.max_seq_len
     )
+    validate_model(config, mesh, args)
     mesh, params, tx, schedule = setup_mesh_and_optimizer(args, params, mesh)
 
     micro_bs = args.batch_size // args.gradient_accumulation
@@ -133,33 +141,47 @@ def main():
 
     batch_iter = prefetch(step_batches(), depth=2)
 
+    # the ambient mesh makes shard_map-based paths (ring attention over a cp axis)
+    # reachable from inside the jitted step — the trace happens on the first call
+    from llama_x_tpu.parallel import use_mesh
+
     # token count accumulates ON DEVICE between log points — int()-ing it every step
     # would force a device→host readback per step and serialize dispatch against the
     # step (the relay transfer is slow; measured as a real per-step cost)
     tok_acc = None
-    while step < args.n_steps:
-        state, metrics = train_step(state, next(batch_iter))
-        tok_acc = metrics["n_tokens"] if tok_acc is None else tok_acc + metrics["n_tokens"]
+    mem_fallback = None
+    with use_mesh(mesh):
+        while step < args.n_steps:
+            batch = next(batch_iter)
+            state, metrics = train_step(state, batch)
+            tok_acc = metrics["n_tokens"] if tok_acc is None else tok_acc + metrics["n_tokens"]
 
-        if step % args.log_interval == 0:
-            meter.update(int(tok_acc))
-            tok_acc = None
-            log = {
-                "loss": float(metrics["loss"]),
-                "grad_norm": float(metrics["grad_norm"]),
-                "lr": float(schedule(step)),
-                **device_memory_stats(),
-            }
-            if step > 0:
-                log.update(meter.rates())
-            logger.log(log, step)
-            print(f"step {step}: loss {log['loss']:.4f}")
+            if step % args.log_interval == 0:
+                meter.update(int(tok_acc))
+                tok_acc = None
+                mem = device_memory_stats()
+                if not mem:
+                    # backend exposes no live stats (tunneled TPU): log the compiler's
+                    # one-time estimate instead of 0.0 lies, or nothing at all
+                    if mem_fallback is None:
+                        mem_fallback = step_memory_analysis(train_step, state, batch)
+                    mem = mem_fallback
+                log = {
+                    "loss": float(metrics["loss"]),
+                    "grad_norm": float(metrics["grad_norm"]),
+                    "lr": float(schedule(step)),
+                    **mem,
+                }
+                if step > 0:
+                    log.update(meter.rates())
+                logger.log(log, step)
+                print(f"step {step}: loss {log['loss']:.4f}")
 
-        step += 1
-        if args.ckpt_interval > 0 and step % args.ckpt_interval == 0:
-            save_checkpoint(save_dir, state, step)
-        if profiler is not None:
-            profiler.step(step)
+            step += 1
+            if args.ckpt_interval > 0 and step % args.ckpt_interval == 0:
+                save_checkpoint(save_dir, state, step)
+            if profiler is not None:
+                profiler.step(step)
 
     if profiler is not None:
         profiler.close()
