@@ -31,16 +31,22 @@ from llama_x_tpu.ops.norms import rms_norm
 from llama_x_tpu.ops.rope import build_rope
 
 
-def _stage_trunk(layer_params, config, x, rope, mask_info):
-    """Run this stage's local slice of layers (same scanned block as llama.trunk)."""
+def _stage_trunk(layer_params, config, x, rope, mask_info, dropout_rng=None):
+    """Run this stage's local slice of layers (same scanned block as llama.trunk).
 
-    def body(carry, p):
-        out, _ = llama.block(p, config, carry, rope, mask_info)
+    dropout_rng, when given, is split across the local layers (each stage derives its
+    own base key from the global one, so keys never collide across stages)."""
+    n_local = jax.tree.leaves(layer_params)[0].shape[0]
+    layer_rngs = jax.random.split(dropout_rng, n_local) if dropout_rng is not None else None
+
+    def body(carry, scanned):
+        p, rng = scanned
+        out, _ = llama.block(p, config, carry, rope, mask_info, dropout_rng=rng)
         return out, None
 
     if config.activation_checkpointing:
         body = jax.checkpoint(body, prevent_cse=False, policy=llama.remat_policy(config))
-    x, _ = jax.lax.scan(body, x, layer_params)
+    x, _ = jax.lax.scan(body, x, (layer_params, layer_rngs))
     return x
 
 
@@ -53,16 +59,30 @@ def pipeline_loss(
     n_microbatches: int,
     axis_name: str = "pp",
     segment_ids: jnp.ndarray | None = None,
+    prefix_embeds: jnp.ndarray | None = None,
+    prefix_lm: bool = False,
+    dropout_rng: jax.Array | None = None,
 ):
     """Pipeline-parallel fused-loss forward. tokens/labels [B, S]; B % n_microbatches == 0.
 
     params["layers"] leaves must be shardable on their leading (num_layers) axis by the
     pp mesh axis; all other params replicate. Returns the scalar mean CE loss
     (identical semantics to llama.forward with labels).
+
+    prefix_embeds [B, Pfx, D], when given, are early-fusion modality tokens (audio /
+    image stem outputs, computed by the caller OUTSIDE the pipeline — stems are tiny
+    and replicated; grads flow back through the shard_map input). Stage 0 prepends
+    them to each microbatch's token embeddings, one rope spans the concatenation, and
+    the last stage strips the prefix positions before the head so the loss covers text
+    only — exactly fusion.fuse_forward's semantics (models/fusion.py). prefix_lm makes
+    the prefix attend bidirectionally. Mutually exclusive with segment_ids (packed
+    documents have no modality prefix).
     """
     n_stages = mesh.shape[axis_name]
     assert config.num_layers % n_stages == 0, (config.num_layers, n_stages)
+    assert prefix_embeds is None or segment_ids is None, "prefix + packed segments unsupported"
     B, S = tokens.shape
+    Pfx = 0 if prefix_embeds is None else int(prefix_embeds.shape[1])
     M = n_microbatches
 
     layer_spec = jax.tree.map(lambda _: P(axis_name), params["layers"])
@@ -77,7 +97,7 @@ def pipeline_loss(
         dp_size *= mesh.shape[a]
     assert (B // dp_size) % M == 0, (B, dp_size, M)
 
-    def run(layers_local, other_params, tokens, labels, seg):
+    def run(layers_local, other_params, tokens, labels, seg, pfx):
         full = dict(other_params, layers=layers_local)
         stage = jax.lax.axis_index(axis_name)
         is_first = stage == 0
@@ -89,12 +109,13 @@ def pipeline_loss(
             low_freq_factor=config.rope_low_freq_factor,
             high_freq_factor=config.rope_high_freq_factor,
             old_context_len=config.rope_old_context_len,
-        )[:S]
+        )[: Pfx + S]
 
         mb = tokens.shape[0] // M  # local batch / microbatches
         micro_tok = tokens.reshape(M, mb, S)
         micro_lab = labels.reshape(M, mb, S)
         micro_seg = seg.reshape(M, mb, S)
+        micro_pfx = pfx.reshape(M, mb, Pfx, pfx.shape[-1]) if prefix_embeds is not None else None
 
         perm = [(i, i + 1) for i in range(n_stages - 1)]  # stage s -> s+1
 
@@ -104,6 +125,9 @@ def pipeline_loss(
             mb_idx = jnp.clip(t, 0, M - 1)
             fresh_tok = jax.lax.dynamic_index_in_dim(micro_tok, mb_idx, 0, keepdims=False)
             fresh = jnp.take(full["tok_embeddings"]["weight"], fresh_tok, axis=0)
+            if micro_pfx is not None:
+                fresh_pfx = jax.lax.dynamic_index_in_dim(micro_pfx, mb_idx, 0, keepdims=False)
+                fresh = jnp.concatenate([fresh_pfx.astype(fresh.dtype), fresh], axis=1)
             fresh = jnp.where(t < M, fresh, jnp.zeros_like(fresh))
             x = jnp.where(is_first, fresh, inflight)
 
@@ -115,13 +139,23 @@ def pipeline_loss(
                 segment_ids=jax.lax.dynamic_index_in_dim(micro_seg, proc_idx, 0, keepdims=False)
                 if segment_ids is not None
                 else None,
+                prefix_len=jnp.full((mb,), Pfx, jnp.int32) if (prefix_lm and Pfx > 0) else None,
             )
-            x = _stage_trunk(full["layers"], config, x, rope, mi)
+            # per-(stage, tick) dropout keys — stages hold disjoint layers and each
+            # microbatch must see fresh noise, so fold both indices in
+            rng_t = (
+                jax.random.fold_in(jax.random.fold_in(dropout_rng, t), stage)
+                if dropout_rng is not None
+                else None
+            )
+            x = _stage_trunk(full["layers"], config, x, rope, mi, dropout_rng=rng_t)
 
             # last stage: microbatch (t - n_stages + 1) completes on tick t
             done_idx = t - (n_stages - 1)
             lab = jax.lax.dynamic_index_in_dim(micro_lab, jnp.clip(done_idx, 0, M - 1), 0, keepdims=False)
-            h = rms_norm(x, full["norm"]["scale"], config.norm_eps)
+            # strip the modality prefix before the head: loss covers text positions
+            # only (≡ fuse_forward's slice, models/fusion.py)
+            h = rms_norm(x[:, Pfx:] if Pfx else x, full["norm"]["scale"], config.norm_eps)
             kernel = (
                 full["tok_embeddings"]["weight"].T
                 if config.tied_embeddings
@@ -163,7 +197,7 @@ def pipeline_loss(
 
         embed_dtype = full["tok_embeddings"]["weight"].dtype
         init = (
-            vary(jnp.zeros((mb, S, config.embed_dim), embed_dtype)),
+            vary(jnp.zeros((mb, Pfx + S, config.embed_dim), embed_dtype)),
             vary(jnp.zeros((), jnp.float32)),
             vary(jnp.zeros((), jnp.int32)),
         )
@@ -181,9 +215,11 @@ def pipeline_loss(
         return loss_sum / jnp.maximum(n_valid, 1).astype(jnp.float32)
 
     seg = segment_ids if segment_ids is not None else jnp.zeros_like(tokens)
+    pfx = prefix_embeds if prefix_embeds is not None else jnp.zeros((B, 1, 1), jnp.float32)
+    pfx_spec = P(tuple(b_spec)[0], None, None)  # batch axes from b_spec + [Pfx, D] dims
     return jax.shard_map(
         run,
         mesh=mesh,
-        in_specs=(layer_spec, other_spec, b_spec, b_spec, b_spec),
+        in_specs=(layer_spec, other_spec, b_spec, b_spec, b_spec, pfx_spec),
         out_specs=P(),
-    )(params["layers"], other, tokens, labels, seg)
+    )(params["layers"], other, tokens, labels, seg, pfx)

@@ -53,6 +53,10 @@ def add_common_args(parser: argparse.ArgumentParser):
 
     # --- TPU-native knobs (no reference counterpart) ---
     parser.add_argument("--mesh", type=json.loads, default=dict(), help='e.g. {"dp":4,"fsdp":2,"tp":2}')
+    parser.add_argument(
+        "--pp_microbatches", type=int, default=0,
+        help="GPipe microbatches per step when the mesh has a pp axis (0 = pp size)",
+    )
     parser.add_argument("--attn_impl", default="auto", choices=["auto", "xla", "flash", "ring"])
     parser.add_argument("--remat_policy", default="full", choices=["full", "dots", "dots_flash", "flash"])
     parser.add_argument("--fused_ce_chunks", type=int, default=0)
@@ -172,6 +176,25 @@ def build_model_params(args, model_cls, mesh=None, **extra_config):
     print(f"No. of trainable params: {n_train:,}")
     print(f"No. of non-trainable params: {n_frozen:,}")
     return model, params, config, mask
+
+
+def pp_microbatch_count(args, mesh, micro_bs: int) -> int:
+    """GPipe microbatches for the pp trainer path: --pp_microbatches, else the pp size
+    (falling back to gcd when the local batch doesn't divide). Shared by every trainer
+    with a pp mode."""
+    import math
+
+    pp = mesh.shape.get("pp", 1)
+    dp_size = mesh.shape.get("dp", 1) * mesh.shape.get("fsdp", 1)
+    local_bs = micro_bs // dp_size
+    n_micro = args.pp_microbatches or (pp if local_bs % pp == 0 else math.gcd(local_bs, pp))
+    assert local_bs % n_micro == 0, (
+        f"local batch {local_bs} (batch {micro_bs} / data-parallel {dp_size}) must "
+        f"divide into --pp_microbatches {n_micro}"
+    )
+    if n_micro < pp:
+        print(f"warning: {n_micro} pipeline microbatches < {pp} stages — large bubble")
+    return n_micro
 
 
 def setup_mesh(args):

@@ -121,3 +121,76 @@ def test_pp_trainer_step_matches_dp(tmp_path):
 
     for (n, a), (_, b) in zip(named_leaves(state_pp["trainable"]), named_leaves(state_dp["trainable"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6, err_msg=n)
+
+
+def test_pipeline_prefix_matches_fuse_forward():
+    """Modality-prefix pipelining (VERDICT r2 #4): prefix embeds injected at stage 0,
+    prefix-LM mask, text-only loss — must match fusion.fuse_forward exactly, loss AND
+    grads (incl. the prefix grad that flows back to the caller's stem)."""
+    from llama_x_tpu.models import fusion
+
+    config, params, tokens, labels = _setup(num_layers=4, B=4, S=16)
+    rng = np.random.default_rng(2)
+    prefix = jnp.asarray(rng.standard_normal((4, 8, config.embed_dim)).astype(np.float32))
+    mesh = _mesh_pp(4)
+
+    for plm in (False, True):
+        want = float(fusion.fuse_forward(params, config, [prefix], tokens, labels=labels, prefix_lm=plm))
+        got = float(
+            pipeline_loss(params, config, tokens, labels, mesh, 2, prefix_embeds=prefix, prefix_lm=plm)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, err_msg=f"prefix_lm={plm}")
+
+    # grads wrt params AND the prefix input (the stem's backward path)
+    g_pp = jax.grad(
+        lambda p, pre: pipeline_loss(p, config, tokens, labels, mesh, 2, prefix_embeds=pre, prefix_lm=True),
+        argnums=(0, 1),
+    )(params, prefix)
+    g_ref = jax.grad(
+        lambda p, pre: fusion.fuse_forward(p, config, [pre], tokens, labels=labels, prefix_lm=True),
+        argnums=(0, 1),
+    )(params, prefix)
+    from llama_x_tpu.utils.tree import named_leaves
+
+    np.testing.assert_allclose(np.asarray(g_pp[1]), np.asarray(g_ref[1]), rtol=1e-4, atol=1e-6)
+    for (n, a), (_, b) in zip(named_leaves(g_pp[0]), named_leaves(g_ref[0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6, err_msg=n)
+
+
+def test_pipeline_audio_trainer_step():
+    """LlamaAudio trains under pp: the audio stem runs outside the pipeline, its
+    embeddings pipeline through, loss matches the single-device audio forward."""
+    from llama_x_tpu.models import audio as audio_mod
+    from llama_x_tpu.models.audio import AudioConfig, LlamaAudio
+    from llama_x_tpu.parallel import make_mesh, shard_params
+    from llama_x_tpu.train.trainer import init_train_state, make_train_step
+    from llama_x_tpu.utils.tree import path_mask
+    import optax
+
+    config = llama.tiny_config(num_layers=4, max_seq_len=256, attn_impl="xla")
+    audio_config = AudioConfig()
+    model = LlamaAudio.init(jax.random.PRNGKey(1), config, audio_config, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    audio = jnp.asarray(rng.standard_normal((4, 16_000)).astype(np.float32) * 0.1)  # -> 50 audio toks
+    tokens = jnp.asarray(rng.integers(1, config.vocab_size, (4, 16)), jnp.int32)
+    labels = jnp.asarray(rng.integers(1, config.vocab_size, (4, 16)), jnp.int32)
+
+    want = float(
+        audio_mod.forward(model.params, config, audio_config, audio, tokens, labels=labels, prefix_lm=True)
+    )
+
+    mesh = make_mesh(dp=2, pp=4)
+
+    def pp_loss_fn(p, mb):
+        prefix = audio_mod.audio_embed(p["audio_embed"], audio_config, mb["audio"], dtype=jnp.float32)
+        loss = pipeline_loss(
+            p, config, mb["tokens"], mb["labels"], mesh, 2, prefix_embeds=prefix, prefix_lm=True
+        )
+        return loss, jnp.sum(mb["labels"] != -100)
+
+    tx = optax.adamw(1e-3)
+    state = init_train_state(shard_params(model.params, mesh), path_mask(model.params, lambda n, l: True), tx)
+    step = jax.jit(make_train_step(pp_loss_fn, tx))
+    batch = {"audio": audio[None], "tokens": tokens[None], "labels": labels[None]}
+    state, metrics = step(state, batch)
+    np.testing.assert_allclose(float(metrics["loss"]), want, rtol=1e-5)

@@ -102,11 +102,34 @@ def main():
         )
         data_iter = prefetch(iter(ds), depth=4)
 
-    def loss_fn(p, mb):
-        loss = audio_mod.forward(
-            p, config, audio_config, mb["audio"], mb["tokens"], labels=mb["labels"], prefix_lm=args.prefix_lm
-        )
-        return loss, jnp.sum(mb["labels"] != -100)
+    pp = mesh.shape.get("pp", 1)
+    if pp > 1:
+        # pipeline-parallel audio: the (tiny, replicated) stem runs outside the
+        # pipeline; its embeddings are injected at stage 0 and the loss keeps
+        # fuse_forward semantics exactly (parallel/pipeline.py prefix support)
+        from llama_x_tpu.parallel.pipeline import pipeline_loss
+        from llama_x_tpu.train.cli import pp_microbatch_count
+
+        n_micro = pp_microbatch_count(args, mesh, micro_bs)
+
+        def loss_fn(p, mb):
+            prefix = audio_mod.audio_embed(
+                p["audio_embed"], audio_config, mb["audio"],
+                dtype=p["tok_embeddings"]["weight"].dtype,
+            )
+            loss = pipeline_loss(
+                p, config, mb["tokens"], mb["labels"], mesh, n_micro,
+                prefix_embeds=prefix, prefix_lm=args.prefix_lm,
+            )
+            return loss, jnp.sum(mb["labels"] != -100)
+
+    else:
+
+        def loss_fn(p, mb):
+            loss = audio_mod.forward(
+                p, config, audio_config, mb["audio"], mb["tokens"], labels=mb["labels"], prefix_lm=args.prefix_lm
+            )
+            return loss, jnp.sum(mb["labels"] != -100)
 
     state = init_train_state(params, mask, tx)
     train_step = jax.jit(make_train_step(loss_fn, tx, skip_nonfinite=args.skip_nonfinite), donate_argnums=(0,))

@@ -46,10 +46,6 @@ def main():
     parser.add_argument("--document_mask", action="store_true")
     parser.add_argument("--max_seq_len", type=int, default=1024)
     parser.add_argument("--seq_len_multiple", type=int, default=256)
-    parser.add_argument(
-        "--pp_microbatches", type=int, default=0,
-        help="GPipe microbatches per step when the mesh has a pp axis (0 = pp size)",
-    )
     args = parser.parse_args()
 
     if args.profile:
@@ -90,18 +86,9 @@ def main():
         # (parallel/pipeline.py) — to the trainer it is just another loss_fn, so
         # accumulation/clip/optimizer/donation all come from the same make_train_step
         from llama_x_tpu.parallel.pipeline import pipeline_loss
+        from llama_x_tpu.train.cli import pp_microbatch_count
 
-        import math
-
-        dp_size = mesh.shape.get("dp", 1) * mesh.shape.get("fsdp", 1)
-        local_bs = micro_bs // dp_size
-        n_micro = args.pp_microbatches or (pp if local_bs % pp == 0 else math.gcd(local_bs, pp))
-        assert local_bs % n_micro == 0, (
-            f"local batch {local_bs} (batch {micro_bs} / data-parallel {dp_size}) must "
-            f"divide into --pp_microbatches {n_micro}"
-        )
-        if n_micro < pp:
-            print(f"warning: {n_micro} pipeline microbatches < {pp} stages — large bubble")
+        n_micro = pp_microbatch_count(args, mesh, micro_bs)
 
         def loss_fn(p, mb):
             loss = pipeline_loss(
