@@ -73,22 +73,34 @@ def make_save_dir(task: str, run_name: str | None) -> Path:
     return d
 
 
-def save_model_config(save_dir: Path, config, audio_config=None):
+def save_model_config(save_dir: Path, config, audio_config=None, vision_config=None):
     """Persist the model hyperparameters next to the checkpoints so eval scripts can
     rebuild the exact architecture without re-deriving it from CLI args or HF
-    (eval_librispeech.py --resume reads this)."""
+    (eval_librispeech.py / eval_vision.py --resume read this)."""
     import dataclasses
 
     rec = {"llama": dataclasses.asdict(config)}
     if audio_config is not None:
         rec["audio"] = dataclasses.asdict(audio_config)
+    if vision_config is not None:
+        rec["vision"] = dataclasses.asdict(vision_config)
     (Path(save_dir) / "model_config.json").write_text(json.dumps(rec, indent=2))
 
 
 def load_model_config(run_dir: Path):
-    """(LlamaConfig, AudioConfig | None) from a run dir's model_config.json, or None."""
+    """(LlamaConfig, AudioConfig | None) from a run dir's model_config.json, or None.
+    Use load_model_configs for the full (llama, audio, vision) record."""
+    full = load_model_configs(run_dir)
+    if full is None:
+        return None
+    return full[0], full[1]
+
+
+def load_model_configs(run_dir: Path):
+    """(LlamaConfig, AudioConfig | None, VisionConfig | None) or None."""
     from llama_x_tpu.models.audio import AudioConfig
     from llama_x_tpu.models.llama import LlamaConfig
+    from llama_x_tpu.models.vision import VisionConfig
 
     p = Path(run_dir) / "model_config.json"
     if not p.exists():
@@ -96,7 +108,8 @@ def load_model_config(run_dir: Path):
     rec = json.loads(p.read_text())
     llama_config = LlamaConfig(**rec["llama"])
     audio_config = AudioConfig(**rec["audio"]) if "audio" in rec else None
-    return llama_config, audio_config
+    vision_config = VisionConfig(**rec["vision"]) if "vision" in rec else None
+    return llama_config, audio_config, vision_config
 
 
 def prefetch(it, depth: int = 2):
@@ -132,12 +145,14 @@ def prefetch(it, depth: int = 2):
         yield item
 
 
-def build_model_params(args, model_cls, mesh=None, **extra_config):
+def build_model_params(args, model_cls, mesh=None, init_kwargs=None, hf_kwargs=None, **extra_config):
     """from_hf (or tiny synthetic init) → freeze → quantize → adapt
     (composition order ≡ train_metamathqa.py:172-186).
 
     With ``mesh``, HF weights stream straight onto their mesh shardings as they load
-    (models/hf.py) — no replicated whole-model stopover."""
+    (models/hf.py) — no replicated whole-model stopover. ``init_kwargs`` go to
+    model_cls.init (e.g. vision_config=...), ``hf_kwargs`` to model_cls.from_hf (e.g.
+    image_size=...) — modality stems configure differently on the two paths."""
     from llama_x_tpu.models import llama as llama_mod
 
     config_overrides = dict(
@@ -153,9 +168,11 @@ def build_model_params(args, model_cls, mesh=None, **extra_config):
             embed_dim=256, num_layers=4, head_dim=32, num_heads=8, num_kv_heads=4,
             intermediate_dim=512, vocab_size=512, max_seq_len=extra_config.get("max_seq_len", 2048),
         ).replace(**{k: v for k, v in config_overrides.items() if k != "max_seq_len"})
-        model = model_cls.init(jax.random.PRNGKey(args.seed), config, dtype=jnp.bfloat16)
+        model = model_cls.init(jax.random.PRNGKey(args.seed), config, dtype=jnp.bfloat16, **(init_kwargs or {}))
     else:
-        model = model_cls.from_hf(args.model, dtype=jnp.bfloat16, mesh=mesh, **config_overrides)
+        model = model_cls.from_hf(
+            args.model, dtype=jnp.bfloat16, mesh=mesh, **config_overrides, **(hf_kwargs or {})
+        )
 
     params, config = model.params, model.config
 

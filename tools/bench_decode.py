@@ -30,26 +30,67 @@ def bench(config, B, n_new=128, prompt_len=512):
     return dt, B * n_new / dt, out
 
 
+GEOMETRIES = {
+    # 1.1B-class hd=128 (the original sweep geometry)
+    "hd128": dict(embed_dim=2048, num_layers=16, head_dim=128, num_heads=16,
+                  num_kv_heads=8, intermediate_dim=5632, vocab_size=32_000),
+    # TinyLlama-class hd=64 (the framework's default --model; covered since the
+    # D % 128 gate was lifted to D % 64)
+    "hd64": dict(embed_dim=2048, num_layers=16, head_dim=64, num_heads=32,
+                 num_kv_heads=4, intermediate_dim=5632, vocab_size=32_000),
+}
+
+
 def main():
-    base = dict(embed_dim=2048, num_layers=16, head_dim=128, num_heads=16,
-                num_kv_heads=8, intermediate_dim=5632, vocab_size=32_000)
-    # (B, max_seq_len): the kernel's O(kv_len) reads matter most when the static cache
-    # is sized for long context but the live prefix is short (the serving-common case)
-    for B, S_max in ((1, 2048), (8, 2048), (32, 2048), (8, 8192)):
-        row = {}
-        outs = {}
-        for impl in ("xla", "auto"):
-            config = llama.LlamaConfig(**base, max_seq_len=S_max, attn_impl=impl)
-            dt, tps, out = bench(config, B)
-            row[impl] = tps
-            outs[impl] = np.asarray(out)
-        agree = float((outs["xla"] == outs["auto"]).mean())
-        print(
-            f"B={B:3d} cache={S_max}: xla {row['xla']:7.1f} tok/s | pallas-decode "
-            f"{row['auto']:7.1f} tok/s | speedup {row['auto']/row['xla']:.2f}x "
-            f"| token agreement {agree:.3f}",
-            flush=True,
-        )
+    import argparse
+    import json
+    from pathlib import Path
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--out", default="runs/bench_decode/decode.json")
+    parser.add_argument("--geometries", nargs="+", default=["hd128", "hd64"], choices=list(GEOMETRIES))
+    args = parser.parse_args()
+
+    from llama_x_tpu.utils.cache import enable_compilation_cache
+    from llama_x_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+    enable_compilation_cache()
+
+    rows = []
+    for geom in args.geometries:
+        base = GEOMETRIES[geom]
+        # (B, max_seq_len, num_layers): the kernel's O(kv_len) reads matter most when
+        # the static cache is sized for long context but the live prefix is short (the
+        # serving-common case) — VERDICT r2 #8's matrix: B in {1, 8, 16}, 4k / 16k.
+        # 16k rows drop to 8 layers: a 16-layer B=8 16k bf16 cache alone is 8.6 GB and
+        # the XLA variant's temps blow the 16 GB chip (measured RESOURCE_EXHAUSTED).
+        for B, S_max, n_layers in (
+            (1, 4096, 16), (8, 4096, 16), (16, 4096, 16), (8, 16_384, 8), (16, 16_384, 8),
+        ):
+            row = {"geometry": geom, "B": B, "cache_len": S_max, "num_layers": n_layers}
+            outs = {}
+            for impl in ("xla", "auto"):
+                config = llama.LlamaConfig(
+                    **dict(base, num_layers=n_layers), max_seq_len=S_max, attn_impl=impl
+                )
+                dt, tps, out = bench(config, B)
+                row[f"{impl}_tok_s"] = round(tps, 1)
+                outs[impl] = np.asarray(out)
+            row["speedup"] = round(row["auto_tok_s"] / row["xla_tok_s"], 3)
+            row["token_agreement"] = float((outs["xla"] == outs["auto"]).mean())
+            rows.append(row)
+            print(
+                f"{geom} B={B:3d} cache={S_max}: xla {row['xla_tok_s']:7.1f} tok/s | "
+                f"pallas-decode {row['auto_tok_s']:7.1f} tok/s | speedup {row['speedup']:.2f}x "
+                f"| token agreement {row['token_agreement']:.3f}",
+                flush=True,
+            )
+
+    out_path = Path(args.out)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    out_path.write_text(json.dumps({"prefill": 512, "new_tokens": 128, "rows": rows}, indent=1))
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

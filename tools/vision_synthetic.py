@@ -1,0 +1,185 @@
+"""Synthetic end-to-end image-captioning artifact: the offline proof that the vision
+modality WORKS through the full framework loop (the tools/wer_synthetic.py pattern,
+applied to BASELINE config 3 — the reference README's planned image path).
+
+A tiny Fuyu-style LlamaVision learns a genuinely image-conditioned task — each canvas
+shows two colored shapes and the caption names them ("red square blue circle") — with
+the production path at every stage:
+
+  train (train/trainer.py step, prefix-LM image fusion via models/vision.py)
+    -> save_checkpoint -> restore_params (the eval restore path, train/checkpoint.py)
+    -> generate() greedy decode with image prefix embeds (models/generate.py)
+    -> exact-match + word error rate
+
+The artifact (runs/vision_synthetic/accuracy.json) records both metrics before and
+after training. Train and eval draw from DISJOINT combination spaces (eval = the
+(color, shape) index quadruples summing to 0 mod 4; training rejection-samples those
+out — data/vision.py:shapes_split), so scoring well requires reading each shape and
+color from the pixels, not replaying memorized pairs.
+
+usage: PYTHONPATH=/root/.axon_site:/root/repo python tools/vision_synthetic.py
+       (CPU-runnable with JAX_PLATFORMS=cpu)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llama_x_tpu.adapters import trainable_mask
+from llama_x_tpu.data.tokenizers import ByteTokenizer
+from llama_x_tpu.data.vision import make_shapes_sample
+from llama_x_tpu.models import llama
+from llama_x_tpu.models import vision as vision_mod
+from llama_x_tpu.models.vision import LlamaVision, VisionConfig
+from llama_x_tpu.train.checkpoint import restore_params, save_checkpoint
+from llama_x_tpu.train.optim import get_optimizer
+from llama_x_tpu.train.trainer import init_train_state, make_train_step
+from llama_x_tpu.train.wer import wer
+
+TEXT_LEN = 40  # bos + "magenta triangle magenta triangle" (33 bytes, the longest) + eos
+IMAGE_SIZE = 48
+PATCH_SIZE = 8  # 6x6 patches + 6 newline tokens = 42 image tokens
+
+
+def encode_text(tok: ByteTokenizer, text: str):
+    ids = tok(text, add_bos=True, add_eos=True)
+    tokens = np.full(TEXT_LEN, tok.pad_id, np.int32)
+    tokens[: len(ids)] = ids
+    labels = np.full(TEXT_LEN, -100, np.int32)
+    labels[: len(ids) - 1] = ids[1:]
+    return tokens, labels
+
+
+def batches(rng, tok, batch_size):
+    while True:
+        images, tokens, labels = [], [], []
+        for _ in range(batch_size):
+            img, caption = make_shapes_sample(rng, IMAGE_SIZE, split="train")
+            t, l = encode_text(tok, caption)
+            images.append(img)
+            tokens.append(t)
+            labels.append(l)
+        yield {
+            "images": jnp.asarray(np.stack(images))[None],
+            "tokens": jnp.asarray(np.stack(tokens))[None],
+            "labels": jnp.asarray(np.stack(labels))[None],
+        }
+
+
+def eval_captions(params, config, vision_config, tok, rng, n_samples):
+    """Greedy-decode held-out shape combinations through the production generate()."""
+    from llama_x_tpu.models.generate import generate
+
+    refs, hyps = [], []
+    embed_dtype = params["tok_embeddings"]["weight"].dtype
+    for _ in range(n_samples):
+        img, caption = make_shapes_sample(rng, IMAGE_SIZE, split="eval")
+        prefix = vision_mod.patch_embed(
+            params["patch_embed"], vision_config, jnp.asarray(img[None]), dtype=embed_dtype
+        )
+        bos = jnp.full((1, 1), tok.bos_id, jnp.int32)
+        out = generate(
+            params, config, bos, max_new_tokens=TEXT_LEN, eos_id=tok.eos_id,
+            pad_id=tok.pad_id, prefix_embeds=prefix, prefix_lm=True,
+        )
+        row = [int(t) for t in np.asarray(out)[0] if t not in (tok.pad_id, tok.eos_id)]
+        refs.append(caption)
+        hyps.append(tok.decode(row).strip())
+    exact = sum(r == h for r, h in zip(refs, hyps)) / max(len(refs), 1)
+    return exact, wer(refs, hyps), refs, hyps
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=800)
+    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--lr", type=float, default=2e-3)
+    parser.add_argument("--eval_samples", type=int, default=32)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--out_dir", default="runs/vision_synthetic")
+    args = parser.parse_args()
+
+    from llama_x_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+
+    tok = ByteTokenizer()
+    config = llama.tiny_config(
+        embed_dim=256, num_layers=4, head_dim=32, num_heads=8, num_kv_heads=4,
+        intermediate_dim=768, vocab_size=tok.vocab_size + 5, max_seq_len=512,
+    )
+    vision_config = VisionConfig(image_size=IMAGE_SIZE, patch_size=PATCH_SIZE)
+    model = LlamaVision.init(jax.random.PRNGKey(args.seed), config, vision_config, dtype=jnp.float32)
+    params = model.params
+    mask = trainable_mask(params)
+
+    def loss_fn(p, mb):
+        loss = vision_mod.forward(
+            p, config, vision_config, mb["images"], mb["tokens"], labels=mb["labels"], prefix_lm=True
+        )
+        return loss, jnp.sum(mb["labels"] != -100)
+
+    from llama_x_tpu.train.optim import trapezoid_schedule
+
+    # decay phase sharpens eval generalization measurably on this task (constant-lr
+    # runs plateau at ~2x the WER)
+    tx = get_optimizer("AdamW", trapezoid_schedule(args.lr, args.steps, 0.05, 0.4), weight_decay=0.01)
+    state = init_train_state(params, mask, tx)
+    step_fn = jax.jit(make_train_step(loss_fn, tx), donate_argnums=(0,))
+
+    eval_rng = np.random.default_rng(args.seed + 10_000)
+    exact_init, wer_init, _, _ = eval_captions(params, config, vision_config, tok, eval_rng, args.eval_samples)
+    print(f"before training: exact_match {exact_init:.3f}  wer {wer_init:.3f}")
+
+    data = batches(np.random.default_rng(args.seed), tok, args.batch_size)
+    t0 = time.perf_counter()
+    losses = []
+    for step in range(args.steps):
+        state, metrics = step_fn(state, next(data))
+        if step % 50 == 0 or step == args.steps - 1:
+            loss = float(metrics["loss"])
+            losses.append(loss)
+            print(f"step {step}: loss {loss:.4f}")
+    train_s = time.perf_counter() - t0
+
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    save_checkpoint(out_dir, state, args.steps)
+
+    # eval through the checkpoint-restore path (what eval_vision.py --resume does)
+    restored, _ = restore_params(out_dir / f"step_{args.steps:08d}")
+    restored = jax.tree.map(jnp.asarray, restored)
+    eval_rng = np.random.default_rng(args.seed + 10_000)
+    exact_final, wer_final, refs, hyps = eval_captions(
+        restored, config, vision_config, tok, eval_rng, args.eval_samples
+    )
+    print(f"after {args.steps} steps: exact_match {exact_final:.3f}  wer {wer_final:.3f}")
+    for r, h in list(zip(refs, hyps))[:4]:
+        print(f"  ref: {r!r}  hyp: {h!r}")
+
+    artifact = {
+        "task": "synthetic two-shape captioning (6 colors x 4 shapes per side; eval "
+        "combos disjoint from training: sum(indices) % 4 == 0 never trained on)",
+        "exact_match_before": round(exact_init, 4),
+        "exact_match_after": round(exact_final, 4),
+        "wer_before": round(wer_init, 4),
+        "wer_after": round(wer_final, 4),
+        "steps": args.steps,
+        "final_loss": losses[-1],
+        "train_seconds": round(train_s, 1),
+        "n_eval_samples": args.eval_samples,
+        "restored_from_checkpoint": True,
+    }
+    (out_dir / "accuracy.json").write_text(json.dumps(artifact, indent=1))
+    print(json.dumps(artifact))
+
+
+if __name__ == "__main__":
+    main()
