@@ -17,6 +17,7 @@ import numpy as np
 
 from llama_x_tpu.models import llama
 from llama_x_tpu.models.generate import generate
+from llama_x_tpu.ops import decode_attention as da
 
 
 def bench(config, B, n_new=128, prompt_len=512):
@@ -34,8 +35,9 @@ GEOMETRIES = {
     # 1.1B-class hd=128 (the original sweep geometry)
     "hd128": dict(embed_dim=2048, num_layers=16, head_dim=128, num_heads=16,
                   num_kv_heads=8, intermediate_dim=5632, vocab_size=32_000),
-    # TinyLlama-class hd=64 (the framework's default --model; covered since the
-    # D % 128 gate was lifted to D % 64)
+    # TinyLlama-class hd=64 (the framework's default --model). The kernel computes
+    # hd=64 correctly but measured 0.5-0.8x XLA, so the router keeps it on XLA;
+    # this bench forces the kernel (FORCE_KERNEL) to keep that measurement current.
     "hd64": dict(embed_dim=2048, num_layers=16, head_dim=64, num_heads=32,
                  num_kv_heads=4, intermediate_dim=5632, vocab_size=32_000),
 }
@@ -66,24 +68,40 @@ def main():
         # 16k rows drop to 8 layers: a 16-layer B=8 16k bf16 cache alone is 8.6 GB and
         # the XLA variant's temps blow the 16 GB chip (measured RESOURCE_EXHAUSTED).
         for B, S_max, n_layers in (
-            (1, 4096, 16), (8, 4096, 16), (16, 4096, 16), (8, 16_384, 8), (16, 16_384, 8),
+            (1, 4096, 16), (8, 4096, 16), (16, 4096, 16), (8, 16_384, 8), (16, 16_384, 4),
         ):
             row = {"geometry": geom, "B": B, "cache_len": S_max, "num_layers": n_layers}
             outs = {}
+            # hd=64 is deliberately routed to XLA (see ops/decode_attention.py), so
+            # "auto" would just re-measure XLA there — force the kernel instead to
+            # keep quantifying the routing decision on whatever hardware this runs on.
+            force = base["head_dim"] % 128 != 0
+            row["kernel_forced"] = force
             for impl in ("xla", "auto"):
-                config = llama.LlamaConfig(
-                    **dict(base, num_layers=n_layers), max_seq_len=S_max, attn_impl=impl
-                )
-                dt, tps, out = bench(config, B)
+                da.FORCE_KERNEL = force and impl == "auto"
+                try:
+                    config = llama.LlamaConfig(
+                        **dict(base, num_layers=n_layers), max_seq_len=S_max, attn_impl=impl
+                    )
+                    dt, tps, out = bench(config, B)
+                finally:
+                    da.FORCE_KERNEL = False
                 row[f"{impl}_tok_s"] = round(tps, 1)
                 outs[impl] = np.asarray(out)
             row["speedup"] = round(row["auto_tok_s"] / row["xla_tok_s"], 3)
-            row["token_agreement"] = float((outs["xla"] == outs["auto"]).mean())
+            # Correctness probe: after an IDENTICAL prefill, the first greedy token of
+            # each impl must agree (modulo bf16 argmax ties on random-init logits).
+            # Full-sequence agreement is NOT a correctness metric for free-running
+            # greedy decode: random weights give near-uniform logits, so one flipped
+            # tie diverges the remaining trajectory — exactness is enforced by
+            # tests/test_decode_attention.py against the dense oracle instead.
+            row["first_token_agreement"] = float((outs["xla"][:, 0] == outs["auto"][:, 0]).mean())
+            row["token_agreement_free_running"] = float((outs["xla"] == outs["auto"]).mean())
             rows.append(row)
             print(
                 f"{geom} B={B:3d} cache={S_max}: xla {row['xla_tok_s']:7.1f} tok/s | "
                 f"pallas-decode {row['auto_tok_s']:7.1f} tok/s | speedup {row['speedup']:.2f}x "
-                f"| token agreement {row['token_agreement']:.3f}",
+                f"| first-token agreement {row['first_token_agreement']:.3f}",
                 flush=True,
             )
 

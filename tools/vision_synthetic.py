@@ -45,7 +45,7 @@ from llama_x_tpu.train.wer import wer
 
 TEXT_LEN = 40  # bos + "magenta triangle magenta triangle" (33 bytes, the longest) + eos
 IMAGE_SIZE = 48
-PATCH_SIZE = 8  # 6x6 patches + 6 newline tokens = 42 image tokens
+PATCH_SIZE = 6  # 8x8 patches + 8 newline tokens = 72 image tokens
 
 
 def encode_text(tok: ByteTokenizer, text: str):
@@ -151,6 +151,11 @@ def main():
 
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    stale = out_dir / f"step_{args.steps:08d}"
+    if stale.exists():  # rerun over an old artifact dir: orbax refuses to overwrite
+        import shutil
+
+        shutil.rmtree(stale)
     save_checkpoint(out_dir, state, args.steps)
 
     # eval through the checkpoint-restore path (what eval_vision.py --resume does)

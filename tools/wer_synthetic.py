@@ -161,6 +161,11 @@ def main():
 
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    stale = out_dir / f"step_{args.steps:08d}"
+    if stale.exists():  # rerun over an old artifact dir: orbax refuses to overwrite
+        import shutil
+
+        shutil.rmtree(stale)
     save_checkpoint(out_dir, state, args.steps)
 
     # eval through the checkpoint-restore path (what eval_librispeech.py --resume does)
