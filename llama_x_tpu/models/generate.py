@@ -11,8 +11,9 @@ everything here is shape-static so the whole generation is ONE compiled program:
 - decode: ``lax.scan`` over ``max_new_tokens`` single-token steps; each step embeds the
   previous token, attends over the cache, samples the next token. No Python loop, no
   per-step dispatch, no dynamic shapes.
-- sampling: greedy (temperature 0) or temperature + top-k via Gumbel-max on the filtered
-  logits (jax-idiomatic categorical sampling with an explicit PRNG key).
+- sampling: greedy (temperature 0) or temperature + top-k + top-p (nucleus) via
+  Gumbel-max on the filtered logits (jax-idiomatic categorical sampling with an
+  explicit PRNG key; the nucleus filter is a static-shape sort + prefix-sum).
 - eos handling: a ``done`` mask freezes finished rows to ``pad_id`` (the scan is fixed
   length; early exit would make the shape dynamic).
 """
@@ -29,14 +30,29 @@ from llama_x_tpu.models import llama
 from llama_x_tpu.ops.attention import MaskInfo
 
 
-def sample_logits(key: jax.Array, logits: jnp.ndarray, temperature: float, top_k: int) -> jnp.ndarray:
-    """logits [B, V] → token ids [B]. temperature==0 → argmax (key unused)."""
+def sample_logits(
+    key: jax.Array, logits: jnp.ndarray, temperature: float, top_k: int, top_p: float = 1.0
+) -> jnp.ndarray:
+    """logits [B, V] → token ids [B]. temperature==0 → argmax (key unused).
+
+    top_k and top_p (nucleus) filters compose: top_k truncates first, then the
+    smallest set of tokens whose cumulative probability exceeds top_p survives.
+    Everything is static-shape (sort + cumsum + where), so the sampler scans/jits."""
     if temperature == 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits.astype(jnp.float32) / temperature
     if top_k > 0:
         kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]  # descending
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens where the cumulative mass BEFORE them is < top_p (the nucleus
+        # always includes the top token; cum - probs is the exclusive prefix sum)
+        keep = (cum - probs) < top_p
+        cutoff = jnp.min(jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
     gumbel = jax.random.gumbel(key, logits.shape, jnp.float32)
     return jnp.argmax(logits + gumbel, axis=-1).astype(jnp.int32)
 
@@ -44,7 +60,7 @@ def sample_logits(key: jax.Array, logits: jnp.ndarray, temperature: float, top_k
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "config", "max_new_tokens", "temperature", "top_k", "eos_id", "pad_id", "cache_dtype", "prefix_lm"
+        "config", "max_new_tokens", "temperature", "top_k", "top_p", "eos_id", "pad_id", "cache_dtype", "prefix_lm"
     ),
 )
 def generate(
@@ -56,6 +72,7 @@ def generate(
     key: jax.Array | None = None,
     temperature: float = 0.0,
     top_k: int = 0,
+    top_p: float = 1.0,
     eos_id: int = -1,
     pad_id: int = 0,
     cache_dtype=jnp.bfloat16,
@@ -94,7 +111,7 @@ def generate(
     )
     h, kv_cache = llama.trunk(params, config, x, mask, kv_cache, input_pos=pos, prefill=True)
     logits = llama.head(params, config, h[:, -1:, :])
-    first = sample_logits(key_first, logits[:, 0], temperature, top_k)
+    first = sample_logits(key_first, logits[:, 0], temperature, top_k, top_p)
 
     # ---- decode: fixed-length scan of single-token steps ----
     def step(carry, step_key):
@@ -103,7 +120,7 @@ def generate(
         mask = MaskInfo(causal=True, q_positions=pos[None, None], kv_len=pos[None] + 1)
         h, kv_cache = llama.trunk(params, config, x, mask, kv_cache, input_pos=pos[None])
         logits = llama.head(params, config, h)
-        nxt = sample_logits(step_key, logits[:, 0], temperature, top_k)
+        nxt = sample_logits(step_key, logits[:, 0], temperature, top_k, top_p)
         nxt = jnp.where(done, pad_id, nxt)
         done = done | (nxt == eos_id)
         return (kv_cache, nxt, pos + 1, done), nxt

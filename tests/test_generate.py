@@ -55,3 +55,19 @@ def test_sample_logits_temperature_topk():
     # high temperature, full vocab: samples vary across keys
     toks = {int(sample_logits(jax.random.PRNGKey(i), logits, 10.0, 0)[0]) for i in range(32)}
     assert len(toks) > 1
+
+
+def test_sample_logits_top_p():
+    # probs ~ softmax([4, 3, 0, -5]) = [.729, .268, .0134, .0000]: nucleus at
+    # top_p=0.5 is {token 0} alone (exclusive prefix sum 0 < 0.5, next is 0.729 > 0.5)
+    logits = jnp.asarray([[4.0, 3.0, 0.0, -5.0]])
+    for i in range(16):
+        assert int(sample_logits(jax.random.PRNGKey(i), logits, 1.0, 0, top_p=0.5)[0]) == 0
+    # top_p=0.9 admits tokens {0, 1} (0.729 + 0.268 = 0.997 ≥ 0.9) but never 2/3
+    toks = {int(sample_logits(jax.random.PRNGKey(i), logits, 1.0, 0, top_p=0.9)[0]) for i in range(64)}
+    assert toks == {0, 1}
+    # top_p=1.0 is a no-op: the filter leaves the full distribution
+    toks = {int(sample_logits(jax.random.PRNGKey(i), logits, 10.0, 0, top_p=1.0)[0]) for i in range(64)}
+    assert len(toks) >= 3
+    # the nucleus always contains the top token even when top_p ~ 0
+    assert int(sample_logits(jax.random.PRNGKey(0), logits, 2.0, 0, top_p=1e-6)[0]) == 0
