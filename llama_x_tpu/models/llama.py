@@ -60,7 +60,7 @@ class LlamaConfig:
     tied_embeddings: bool = False
     activation_checkpointing: bool = False
     # --- TPU-native knobs (no reference counterpart) ---
-    attn_impl: str = "auto"  # "auto" | "xla" | "flash" | "ring"
+    attn_impl: str = "auto"  # "auto" | "xla" | "flash" | "ring" | "ulysses"
     fused_ce_chunks: int = 0  # 0 = plain CE; >0 = chunked fused-linear CE
     dynamic_int8_act: bool = False  # set by the quantize transform
     norm_eps: float = 1e-5
@@ -216,17 +216,29 @@ def attention(
         config.attn_impl == "flash"
         or (config.attn_impl == "auto" and jax.default_backend() == "tpu")
     )
-    if config.attn_impl == "ring" and cache is None:
-        # context parallelism: sequence sharded over the ambient mesh's "cp" axis,
-        # KV blocks rotate the ring (ops/ring_attention.py)
+    if config.attn_impl in ("ring", "ulysses") and cache is None:
+        # context parallelism: sequence sharded over the ambient mesh's "cp" axis.
+        # "ring": KV blocks rotate the ICI ring (ops/ring_attention.py). "ulysses":
+        # one all-to-all scatters heads / gathers sequence, local flash attention,
+        # one all-to-all back (parallel/ulysses.py) — less traffic when heads allow.
         if use_dropout:
-            raise NotImplementedError("attention dropout is not supported with attn_impl='ring'")
-        from llama_x_tpu.parallel.context import context_parallel_attention
+            raise NotImplementedError(
+                f"attention dropout is not supported with attn_impl={config.attn_impl!r}"
+            )
         from llama_x_tpu.parallel.mesh import current_mesh
 
         mesh = current_mesh()
-        assert mesh is not None, "attn_impl='ring' needs parallel.use_mesh(mesh) around the step"
-        out = context_parallel_attention(q, k, v, mesh, mask_info)
+        assert mesh is not None, (
+            f"attn_impl={config.attn_impl!r} needs parallel.use_mesh(mesh) around the step"
+        )
+        if config.attn_impl == "ring":
+            from llama_x_tpu.parallel.context import context_parallel_attention
+
+            out = context_parallel_attention(q, k, v, mesh, mask_info)
+        else:
+            from llama_x_tpu.parallel.ulysses import ulysses_attention
+
+            out = ulysses_attention(q, k, v, mesh, mask_info)
     elif use_flash:
         from llama_x_tpu.ops.flash_attention import flash_attention
 

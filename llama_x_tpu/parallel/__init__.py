@@ -12,6 +12,12 @@ def context_parallel_attention(*args, **kwargs):  # lazy: avoids a cycle at impo
     return f(*args, **kwargs)
 
 
+def ulysses_attention(*args, **kwargs):  # lazy: avoids a cycle at import time
+    from llama_x_tpu.parallel.ulysses import ulysses_attention as f
+
+    return f(*args, **kwargs)
+
+
 def pipeline_loss(*args, **kwargs):  # lazy: avoids a cycle at import time
     from llama_x_tpu.parallel.pipeline import pipeline_loss as f
 

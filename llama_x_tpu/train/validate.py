@@ -43,18 +43,18 @@ def validate_launch(args, mesh, *, modality: str = "text", max_seq_len: int | No
             f"data-parallel mesh size dp*fsdp={dp_size}"
         )
 
-    if args.attn_impl == "ring":
+    if args.attn_impl in ("ring", "ulysses"):
         if cp <= 1:
             _err(
-                '--attn_impl ring needs a context-parallel mesh axis: pass e.g. '
-                '--mesh \'{"cp": 2, ...}\' (ring attention shards the sequence over "cp")'
+                f'--attn_impl {args.attn_impl} needs a context-parallel mesh axis: pass e.g. '
+                f'--mesh \'{{"cp": 2, ...}}\' ({args.attn_impl} attention shards the sequence over "cp")'
             )
         if max_seq_len is not None and max_seq_len % cp != 0:
-            _err(f"max_seq_len {max_seq_len} must divide by the cp axis ({cp}) for ring attention")
+            _err(f"max_seq_len {max_seq_len} must divide by the cp axis ({cp}) for {args.attn_impl} attention")
         if pp > 1:
-            _err("--attn_impl ring cannot combine with a pp mesh axis (ring's shard_map cannot nest inside pipeline stages)")
+            _err(f"--attn_impl {args.attn_impl} cannot combine with a pp mesh axis (its shard_map cannot nest inside pipeline stages)")
     elif cp > 1:
-        _err('a "cp" mesh axis requires --attn_impl ring (other attention paths never shard the sequence)')
+        _err('a "cp" mesh axis requires --attn_impl ring or ulysses (other attention paths never shard the sequence)')
 
     if args.attn_impl == "flash" and jax.default_backend() != "tpu":
         from llama_x_tpu.ops import flash_attention as fa
@@ -72,15 +72,30 @@ def validate_model(config, mesh, args, *, modality: str = "text"):
     cp = mesh.shape.get("cp", 1)
     pp = mesh.shape.get("pp", 1)
 
-    if args.attn_impl == "ring":
+    if args.attn_impl in ("ring", "ulysses"):
         if config.attn_dropout > 0.0:
             _err(
                 f"attention dropout ({config.attn_dropout}) is not supported with "
-                "--attn_impl ring (the ring kernel has no in-kernel PRNG); drop the "
+                f"--attn_impl {args.attn_impl} (no per-shard PRNG plumbing); drop the "
                 "dropout or use --attn_impl flash"
             )
         if config.max_seq_len % cp != 0:
             _err(f"max_seq_len {config.max_seq_len} must divide by the cp axis ({cp})")
+
+    if args.attn_impl == "ulysses":
+        from llama_x_tpu.parallel.ulysses import _kv_repeat
+
+        if config.num_heads % cp != 0:
+            _err(
+                f"num_heads {config.num_heads} must divide by the cp axis ({cp}) for "
+                "--attn_impl ulysses (head-scatter); use --attn_impl ring instead"
+            )
+        if _kv_repeat(config.num_heads, config.num_kv_heads, cp) is None:
+            _err(
+                f"GQA geometry Hq={config.num_heads}/Hkv={config.num_kv_heads} cannot be "
+                f"head-scattered over cp={cp} (needs num_heads % lcm(num_kv_heads, cp) == 0); "
+                "use --attn_impl ring instead"
+            )
 
     if pp > 1:
         if config.num_layers % pp != 0:

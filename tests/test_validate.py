@@ -79,6 +79,27 @@ def test_tp_kv_head_divisibility():
         validate_model(config, mesh, _args())
 
 
+def test_ulysses_requires_cp_axis():
+    mesh = make_mesh(dp=8)
+    with pytest.raises(LaunchConfigError, match="cp"):
+        validate_launch(_args(attn_impl="ulysses"), mesh)
+
+
+def test_ulysses_head_divisibility():
+    mesh = make_mesh(dp=1, fsdp=1, cp=8)
+    config = llama.tiny_config(num_heads=4, num_kv_heads=2)  # 4 heads over cp=8
+    with pytest.raises(LaunchConfigError, match="num_heads"):
+        validate_model(config, mesh, _args(attn_impl="ulysses"))
+
+
+def test_ulysses_gqa_geometry_rejected():
+    mesh = make_mesh(dp=2, cp=4)
+    # Hq=8 divides cp=4, but lcm(Hkv=3, 4) = 12 does not divide 8
+    config = llama.tiny_config(num_heads=8, num_kv_heads=3)
+    with pytest.raises(LaunchConfigError, match="head-scatter"):
+        validate_model(config, mesh, _args(attn_impl="ulysses"))
+
+
 # ---------------------------------------------------------------------------
 # trainer-level context parallelism (VERDICT r2 #3)
 # ---------------------------------------------------------------------------
@@ -112,6 +133,18 @@ def test_trainer_ring_cp_matches_dp(monkeypatch, tmp_path):
     l_dp, l_cp = dp[0]["loss"], cp[0]["loss"]
     assert np.isfinite(l_cp)
     assert abs(l_dp - l_cp) / max(abs(l_dp), 1e-9) < 3e-2, (l_dp, l_cp)
+
+
+def test_trainer_ulysses_cp_matches_dp(monkeypatch, tmp_path):
+    """--attn_impl ulysses (head-scatter CP) from the CLI trainer matches dp-only."""
+    dp = _run_trainer(monkeypatch, tmp_path, ["--mesh", '{"dp": 8}'], "dponly2")
+    uly = _run_trainer(
+        monkeypatch, tmp_path,
+        ["--mesh", '{"dp": 4, "fsdp": 1, "cp": 2}', "--attn_impl", "ulysses"], "ulyrun",
+    )
+    l_dp, l_uly = dp[0]["loss"], uly[0]["loss"]
+    assert np.isfinite(l_uly)
+    assert abs(l_dp - l_uly) / max(abs(l_dp), 1e-9) < 3e-2, (l_dp, l_uly)
 
 
 def test_trainer_ring_without_cp_fails_fast(monkeypatch, tmp_path):
