@@ -1,0 +1,116 @@
+"""Text generation CLI: load a model (HF checkpoint dir or a training-run dir) and
+sample completions — the serving surface the reference never built (SURVEY.md §3
+"there is no generate()/sampling loop anywhere — the new framework must design its
+own"; models/generate.py is that design: one compiled prefill + lax.scan decode).
+
+Model sources (mutually exclusive):
+  --model  <hf dir / hub id>  — Llama.from_hf (streaming bf16 import, models/hf.py)
+  --resume <run dir>          — a train_*.py run: params restored through the
+                                production checkpoint path, architecture rebuilt from
+                                model_config.json. int8 / LoRA / DoRA leaves restore
+                                as-is — apply_linear consumes them natively, so a
+                                QLoRA fine-tune serves without an export step.
+
+usage:
+  python tools/generate_cli.py --model /data/llama31-8b --tokenizer llama3 \
+      --tokenizer_path /data/llama31-8b/original/tokenizer.model \
+      --prompt "The capital of France is" --max_new_tokens 64 --temperature 0.7 --top_p 0.9
+  python tools/generate_cli.py --resume runs/metamathqa/<run> --tokenizer byte \
+      --prompt "2+2=" --max_new_tokens 32
+  echo "prompt per line" | python tools/generate_cli.py --resume runs/... --stdin
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    src = parser.add_mutually_exclusive_group(required=True)
+    src.add_argument("--model", help="HF checkpoint dir or hub id")
+    src.add_argument("--resume", help="training run dir (or step_NNNNNNNN inside one)")
+    parser.add_argument("--tokenizer", default="llama3", choices=["llama2", "llama3", "byte"])
+    parser.add_argument("--tokenizer_path")
+    parser.add_argument("--prompt", action="append", default=[], help="repeatable")
+    parser.add_argument("--stdin", action="store_true", help="read one prompt per stdin line")
+    parser.add_argument("--max_new_tokens", type=int, default=128)
+    parser.add_argument("--temperature", type=float, default=0.0, help="0 = greedy")
+    parser.add_argument("--top_k", type=int, default=0)
+    parser.add_argument("--top_p", type=float, default=1.0)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--max_seq_len", type=int, default=0,
+                        help="cap the KV cache (0: model config; smaller = less HBM)")
+    parser.add_argument("--no_eos", action="store_true", help="ignore eos, always emit max_new_tokens")
+    args = parser.parse_args()
+
+    from llama_x_tpu.utils.cache import enable_compilation_cache
+    from llama_x_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from llama_x_tpu.data.tokenizers import get_tokenizer
+    from llama_x_tpu.models import llama
+    from llama_x_tpu.models.generate import generate
+
+    prompts = list(args.prompt)
+    if args.stdin:
+        prompts += [line.rstrip("\n") for line in sys.stdin if line.strip()]
+    if not prompts:
+        parser.error("no prompts: pass --prompt (repeatable) or --stdin")
+
+    tok = get_tokenizer(args.tokenizer, args.tokenizer_path)
+
+    if args.resume:
+        from llama_x_tpu.train.checkpoint import latest_checkpoint, restore_params
+        from llama_x_tpu.train.cli import load_model_configs
+
+        run_dir = Path(args.resume)
+        path = latest_checkpoint(run_dir) or run_dir
+        saved = load_model_configs(run_dir) or load_model_configs(run_dir.parent)
+        assert saved is not None, f"no model_config.json found near {run_dir}"
+        config = saved[0]
+        params, step = restore_params(path)
+        params = jax.tree.map(jnp.asarray, params)
+        for stem in ("audio_embed", "patch_embed"):  # text CLI: modality stems unused
+            params.pop(stem, None)
+        print(f"restored step-{step} params from {path}", file=sys.stderr)
+    else:
+        model = llama.Llama.from_hf(args.model, dtype=jnp.bfloat16)
+        params, config = model.params, model.config
+
+    if args.max_seq_len:
+        config = config.replace(max_seq_len=args.max_seq_len)
+
+    key = jax.random.PRNGKey(args.seed)
+    for i, prompt in enumerate(prompts):
+        ids = tok(prompt, add_bos=True)
+        budget = config.max_seq_len - len(ids)
+        assert budget > 0, f"prompt ({len(ids)} tokens) fills the whole {config.max_seq_len} cache"
+        n_new = min(args.max_new_tokens, budget)
+        key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
+        out = generate(
+            params, config, jnp.asarray([ids], jnp.int32),
+            max_new_tokens=n_new, key=sub,
+            temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
+            eos_id=-1 if args.no_eos else tok.eos_id, pad_id=tok.pad_id,
+        )
+        row = [int(t) for t in np.asarray(out)[0] if t not in (tok.pad_id, tok.eos_id)]
+        dt = time.perf_counter() - t0
+        print(f"--- prompt {i}: {len(ids)} tok prompt + {len(row)} tok completion "
+              f"({len(row) / dt:.1f} tok/s incl. prefill{' + compile' if i == 0 else ''}) ---",
+              file=sys.stderr)
+        print(prompt + tok.decode(row))
+
+
+if __name__ == "__main__":
+    main()
