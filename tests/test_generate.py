@@ -44,6 +44,33 @@ def test_generate_eos_padding():
     np.testing.assert_array_equal(np.asarray(out[0, 1:]), 0)
 
 
+def test_int8_params_generate_matches_dequantized():
+    """generate() composes with int8-quantized layers (the 8B serving path: weights
+    halve in HBM and decode is weight-bandwidth-bound): greedy tokens must match a
+    model whose params were dequantized back to floats by hand."""
+    from llama_x_tpu.adapters import quantize_linear
+
+    config = llama.tiny_config(max_seq_len=64)
+    params = llama.init(jax.random.PRNGKey(3), config, dtype=jnp.float32)
+    qparams = dict(params, layers=quantize_linear(params["layers"], "int8"))
+
+    def dequant(tree):
+        if isinstance(tree, dict) and "int_data" in tree:
+            w = tree["int_data"].astype(jnp.float32) * tree["scale"][..., None].astype(jnp.float32)
+            return {k: v for k, v in tree.items() if k not in ("int_data", "scale")} | {
+                "kernel": jnp.swapaxes(w, -1, -2)
+            }
+        if isinstance(tree, dict):
+            return {k: dequant(v) for k, v in tree.items()}
+        return tree
+
+    dparams = dequant(qparams)
+    prompt = jnp.asarray(np.random.default_rng(2).integers(0, config.vocab_size, (2, 8)), jnp.int32)
+    got = generate(qparams, config, prompt, max_new_tokens=6, cache_dtype=jnp.float32)
+    want = generate(dparams, config, prompt, max_new_tokens=6, cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_sample_logits_temperature_topk():
     key = jax.random.PRNGKey(0)
     logits = jnp.asarray([[0.0, 5.0, 1.0, -2.0]])
