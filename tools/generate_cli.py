@@ -45,6 +45,9 @@ def main():
     parser.add_argument("--max_seq_len", type=int, default=0,
                         help="cap the KV cache (0: model config; smaller = less HBM)")
     parser.add_argument("--no_eos", action="store_true", help="ignore eos, always emit max_new_tokens")
+    parser.add_argument("--draft_model", help="HF dir of a draft model: greedy speculative decoding")
+    parser.add_argument("--draft_resume", help="training run dir of a draft model")
+    parser.add_argument("--gamma", type=int, default=4, help="speculative draft length per round")
     args = parser.parse_args()
 
     from llama_x_tpu.utils.cache import enable_compilation_cache
@@ -69,26 +72,34 @@ def main():
 
     tok = get_tokenizer(args.tokenizer, args.tokenizer_path)
 
-    if args.resume:
-        from llama_x_tpu.train.checkpoint import latest_checkpoint, restore_params
-        from llama_x_tpu.train.cli import load_model_configs
+    def load(hf_dir: str | None, resume_dir: str | None):
+        if resume_dir:
+            from llama_x_tpu.train.checkpoint import latest_checkpoint, restore_params
+            from llama_x_tpu.train.cli import load_model_configs
 
-        run_dir = Path(args.resume)
-        path = latest_checkpoint(run_dir) or run_dir
-        saved = load_model_configs(run_dir) or load_model_configs(run_dir.parent)
-        assert saved is not None, f"no model_config.json found near {run_dir}"
-        config = saved[0]
-        params, step = restore_params(path)
-        params = jax.tree.map(jnp.asarray, params)
-        for stem in ("audio_embed", "patch_embed"):  # text CLI: modality stems unused
-            params.pop(stem, None)
-        print(f"restored step-{step} params from {path}", file=sys.stderr)
-    else:
-        model = llama.Llama.from_hf(args.model, dtype=jnp.bfloat16)
-        params, config = model.params, model.config
+            run_dir = Path(resume_dir)
+            path = latest_checkpoint(run_dir) or run_dir
+            saved = load_model_configs(run_dir) or load_model_configs(run_dir.parent)
+            assert saved is not None, f"no model_config.json found near {run_dir}"
+            config = saved[0]
+            params, step = restore_params(path)
+            params = jax.tree.map(jnp.asarray, params)
+            for stem in ("audio_embed", "patch_embed"):  # text CLI: modality stems unused
+                params.pop(stem, None)
+            print(f"restored step-{step} params from {path}", file=sys.stderr)
+        else:
+            model = llama.Llama.from_hf(hf_dir, dtype=jnp.bfloat16)
+            params, config = model.params, model.config
+        if args.max_seq_len:
+            config = config.replace(max_seq_len=args.max_seq_len)
+        return params, config
 
-    if args.max_seq_len:
-        config = config.replace(max_seq_len=args.max_seq_len)
+    params, config = load(args.model, args.resume)
+    draft = None
+    if args.draft_model or args.draft_resume:
+        assert args.temperature == 0.0, "speculative decoding is greedy-only (drop --temperature)"
+        draft = load(args.draft_model, args.draft_resume)
+        from llama_x_tpu.models.speculative import generate_speculative
 
     key = jax.random.PRNGKey(args.seed)
     for i, prompt in enumerate(prompts):
@@ -97,17 +108,26 @@ def main():
         assert budget > 0, f"prompt ({len(ids)} tokens) fills the whole {config.max_seq_len} cache"
         n_new = min(args.max_new_tokens, budget)
         key, sub = jax.random.split(key)
+        eos_id = -1 if args.no_eos else tok.eos_id
         t0 = time.perf_counter()
-        out = generate(
-            params, config, jnp.asarray([ids], jnp.int32),
-            max_new_tokens=n_new, key=sub,
-            temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
-            eos_id=-1 if args.no_eos else tok.eos_id, pad_id=tok.pad_id,
-        )
+        if draft is not None:
+            n_new = min(n_new, config.max_seq_len - len(ids) - args.gamma)
+            out, stats = generate_speculative(
+                params, config, draft[0], draft[1], jnp.asarray([ids], jnp.int32),
+                max_new_tokens=n_new, gamma=args.gamma, eos_id=eos_id, pad_id=tok.pad_id,
+            )
+        else:
+            out = generate(
+                params, config, jnp.asarray([ids], jnp.int32),
+                max_new_tokens=n_new, key=sub,
+                temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
+                eos_id=eos_id, pad_id=tok.pad_id,
+            )
         row = [int(t) for t in np.asarray(out)[0] if t not in (tok.pad_id, tok.eos_id)]
         dt = time.perf_counter() - t0
+        spec = f", {int(stats['target_passes'])} target passes" if draft is not None else ""
         print(f"--- prompt {i}: {len(ids)} tok prompt + {len(row)} tok completion "
-              f"({len(row) / dt:.1f} tok/s incl. prefill{' + compile' if i == 0 else ''}) ---",
+              f"({len(row) / dt:.1f} tok/s incl. prefill{' + compile' if i == 0 else ''}{spec}) ---",
               file=sys.stderr)
         print(prompt + tok.decode(row))
 
