@@ -183,15 +183,29 @@ def attention(
 
     new_cache = None
     decode_from_cache = False
+    quantized_cache = False
     if cache is not None:
         k_cache, v_cache = cache  # [B, n_kv, max_seq_len, hd] (contiguous per-head rows)
         assert input_pos is not None
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.transpose(0, 2, 1, 3).astype(k_cache.dtype), (0, 0, input_pos[0], 0)
-        )
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.transpose(0, 2, 1, 3).astype(v_cache.dtype), (0, 0, input_pos[0], 0)
-        )
+        quantized_cache = isinstance(k_cache, tuple)  # int8 side: (data, rowwise scale)
+        if quantized_cache:
+
+            def update(side, fresh):
+                data, scale = side
+                f_i8, f_s = quantize_kv_rows(fresh.transpose(0, 2, 1, 3))
+                data = jax.lax.dynamic_update_slice(data, f_i8, (0, 0, input_pos[0], 0))
+                scale = jax.lax.dynamic_update_slice(scale, f_s, (0, 0, input_pos[0]))
+                return data, scale
+
+        else:
+
+            def update(side, fresh):
+                return jax.lax.dynamic_update_slice(
+                    side, fresh.transpose(0, 2, 1, 3).astype(side.dtype), (0, 0, input_pos[0], 0)
+                )
+
+        k_cache = update(k_cache, k)
+        v_cache = update(v_cache, v)
         new_cache = (k_cache, v_cache)
         decode_from_cache = not prefill
 
@@ -201,12 +215,20 @@ def attention(
         # (O(kv_len) contiguous HBM traffic, ops/decode_attention.py)
         from llama_x_tpu.ops import decode_attention as da
 
-        if config.attn_impl != "xla" and da.decode_supported(q.shape, k_cache.shape, mask_info):
+        cache_shape = k_cache[0].shape if quantized_cache else k_cache.shape
+        if config.attn_impl != "xla" and da.decode_supported(q.shape, cache_shape, mask_info):
             lens = da.effective_lens(mask_info, B)
-            out = da.decode_attention(q, k_cache, v_cache, lens, 1.0 / c.head_dim**0.5)
+            if quantized_cache:
+                out = da.decode_attention_int8(
+                    q, k_cache[0], k_cache[1], v_cache[0], v_cache[1], lens, 1.0 / c.head_dim**0.5
+                )
+            else:
+                out = da.decode_attention(q, k_cache, v_cache, lens, 1.0 / c.head_dim**0.5)
         else:
+            kd = dequant_kv(k_cache) if quantized_cache else k_cache
+            vd = dequant_kv(v_cache) if quantized_cache else v_cache
             out = dot_product_attention(
-                q, k_cache.transpose(0, 2, 1, 3), v_cache.transpose(0, 2, 1, 3), mask_info
+                q, kd.transpose(0, 2, 1, 3), vd.transpose(0, 2, 1, 3), mask_info
             )
         out = out.reshape(B, S, c.num_heads * c.head_dim)
         return apply_linear(out, p["wo"], dynamic_int8_act=c.dynamic_int8_act), new_cache
@@ -423,9 +445,35 @@ def init_kv_cache(config: LlamaConfig, batch_size: int, dtype=jnp.bfloat16):
     (a [B, S, n_kv, hd] cache serves 256-byte rows at 2 KB stride — measured slower
     than the XLA path). The scatter at input_pos writes one strided row per head per
     token, which is noise next to the read traffic.
+
+    ``dtype=jnp.int8``: quantized cache — each side becomes a pair
+    ``(int8 [L, B, n_kv, S, hd], f32 scale [L, B, n_kv, S])`` (symmetric rowwise over
+    hd per cached position, the ops/int8.py convention). Halves decode's cache HBM
+    traffic and doubles the max context that fits; the decode kernel dequantizes
+    tiles in VMEM (ops/decode_attention.py:decode_attention_int8). Scales are f32
+    (~hd/4 x smaller than the data — precision is free here).
     """
     shape = (config.num_layers, batch_size, config.num_kv_heads, config.max_seq_len, config.head_dim)
+    if dtype == jnp.int8:
+        side = lambda: (jnp.zeros(shape, jnp.int8), jnp.zeros(shape[:-1], jnp.float32))
+        return side(), side()
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def quantize_kv_rows(x: jnp.ndarray):
+    """[..., D] float -> (int8 [..., D], f32 scale [...]): symmetric absmax/127 per row
+    (quantize_int8_rowwise generalized to any leading shape, f32 scale out)."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=-1) / 127.0
+    q = jnp.rint(xf / jnp.clip(scale, 1e-12, None)[..., None]).astype(jnp.int8)
+    return q, scale
+
+
+def dequant_kv(side) -> jnp.ndarray:
+    """Quantized cache side (int8 data, f32 scale) -> bf16 [..., S, D] (XLA fallback /
+    prefill read path)."""
+    data, scale = side
+    return (data.astype(jnp.float32) * scale[..., None]).astype(jnp.bfloat16)
 
 
 class Llama:

@@ -83,6 +83,119 @@ def _kernel(lens_ref, q_ref, k_ref, v_ref, out_ref, acc_ref, m_ref, l_ref, *, sc
         out_ref[0, 0, 0] = (acc_ref[:] / jnp.where(l == 0.0, 1.0, l)).astype(out_ref.dtype)
 
 
+def _kernel_i8(
+    lens_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref, acc_ref, m_ref, l_ref, *, scale, bk, group
+):
+    """int8-cache variant: K/V tiles arrive as int8 [bk, D] + per-row scales [bk, 1].
+    Dequant happens in VMEM (the HBM read is half the bf16 kernel's — the entire win):
+    ``k_i8 * k_s`` is a sublane-aligned [bk, 1] broadcast along lanes, the layout
+    Mosaic handles natively (folding the scale into the [group, bk] score vector would
+    need a sublane->lane relayout instead). Dequantized tiles are bf16, so scores
+    carry exactly the bf16-cache kernel's rounding plus the int8 quantization error."""
+    b = pl.program_id(0)
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+    len_b = lens_ref[b]
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(j * bk < len_b)
+    def _compute():
+        q = q_ref[0, 0, 0]  # [group, D]
+        k = k_ref[0, 0].astype(q.dtype) * ks_ref[0, 0].astype(q.dtype)  # [bk, D] dequant
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s *= scale
+        kv_pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (group, bk), 1)
+        s = jnp.where(kv_pos < len_b, s, _NEG_INF)
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        pv = jax.lax.dot_general(
+            p.astype(q.dtype),
+            v_ref[0, 0].astype(q.dtype) * vs_ref[0, 0].astype(q.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = acc_ref[:] * alpha + pv
+
+    @pl.when(j == nk - 1)
+    def _epilogue():
+        l = l_ref[:, :1]
+        out_ref[0, 0, 0] = (acc_ref[:] / jnp.where(l == 0.0, 1.0, l)).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_kv"))
+def decode_attention_int8(
+    q: jnp.ndarray,
+    k_i8: jnp.ndarray,
+    k_scale: jnp.ndarray,
+    v_i8: jnp.ndarray,
+    v_scale: jnp.ndarray,
+    kv_len: jnp.ndarray,
+    scale: float,
+    block_kv: int = 1024,
+) -> jnp.ndarray:
+    """decode_attention over an int8-quantized cache (models/llama.py init_kv_cache
+    with dtype=int8): k_i8/v_i8 [B, Hkv, S_max, D] int8, k_scale/v_scale
+    [B, Hkv, S_max] f32 rowwise dequant scales. Same contract otherwise."""
+    B, Sq, Hq, D = q.shape
+    _, Hkv, S_max, _ = k_i8.shape
+    assert Sq == 1
+    group = Hq // Hkv
+    bk = _pick_bk(S_max, block_kv)
+    nk = S_max // bk
+
+    q5 = q.reshape(B, 1, Hkv, group, D)
+    lens = jnp.broadcast_to(kv_len.astype(jnp.int32).reshape(-1), (B,))
+
+    def kv_map(b, h, j, lens_ref):
+        last = jnp.maximum(pl.cdiv(lens_ref[b], bk) - 1, 0)
+        return (b, h, jnp.minimum(j, last), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Hkv, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, group, D), lambda b, h, j, lens_ref: (b, 0, h, 0, 0)),
+            pl.BlockSpec((1, 1, bk, D), kv_map),
+            # scales ride as [B, Hkv, S, 1] so the (bk, 1) tile satisfies the TPU
+            # block rule (last dim == array dim) and broadcasts along lanes in-kernel
+            pl.BlockSpec((1, 1, bk, 1), kv_map),
+            pl.BlockSpec((1, 1, bk, D), kv_map),
+            pl.BlockSpec((1, 1, bk, 1), kv_map),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, group, D), lambda b, h, j, lens_ref: (b, 0, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((group, D), jnp.float32),
+            pltpu.VMEM((group, _LANES), jnp.float32),
+            pltpu.VMEM((group, _LANES), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_i8, scale=scale, bk=bk, group=group),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 1, Hkv, group, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=INTERPRET,
+    )(
+        lens, q5,
+        k_i8, k_scale.astype(jnp.float32)[..., None],
+        v_i8, v_scale.astype(jnp.float32)[..., None],
+    )
+    return out.reshape(B, 1, Hq, D)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "block_kv"))
 def decode_attention(
     q: jnp.ndarray,
