@@ -30,16 +30,14 @@ from llama_x_tpu.models import llama
 from llama_x_tpu.ops.attention import MaskInfo
 
 
-def sample_logits(
-    key: jax.Array, logits: jnp.ndarray, temperature: float, top_k: int, top_p: float = 1.0
+def filter_logits(
+    logits: jnp.ndarray, temperature: float, top_k: int, top_p: float = 1.0
 ) -> jnp.ndarray:
-    """logits [B, V] → token ids [B]. temperature==0 → argmax (key unused).
-
-    top_k and top_p (nucleus) filters compose: top_k truncates first, then the
-    smallest set of tokens whose cumulative probability exceeds top_p survives.
-    Everything is static-shape (sort + cumsum + where), so the sampler scans/jits."""
-    if temperature == 0.0:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    """Temperature + top-k + top-p filtering: [..., V] float logits → f32 logits with
+    filtered-out tokens at -inf. ``softmax`` of the result IS the sampling
+    distribution — shared by the ancestral sampler below and the speculative
+    rejection sampler (models/speculative.py), which must agree on it exactly.
+    Caller guarantees temperature > 0."""
     logits = logits.astype(jnp.float32) / temperature
     if top_k > 0:
         kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
@@ -53,6 +51,20 @@ def sample_logits(
         keep = (cum - probs) < top_p
         cutoff = jnp.min(jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True)
         logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return logits
+
+
+def sample_logits(
+    key: jax.Array, logits: jnp.ndarray, temperature: float, top_k: int, top_p: float = 1.0
+) -> jnp.ndarray:
+    """logits [B, V] → token ids [B]. temperature==0 → argmax (key unused).
+
+    top_k and top_p (nucleus) filters compose: top_k truncates first, then the
+    smallest set of tokens whose cumulative probability exceeds top_p survives.
+    Everything is static-shape (sort + cumsum + where), so the sampler scans/jits."""
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = filter_logits(logits, temperature, top_k, top_p)
     gumbel = jax.random.gumbel(key, logits.shape, jnp.float32)
     return jnp.argmax(logits + gumbel, axis=-1).astype(jnp.int32)
 

@@ -1,17 +1,25 @@
-"""Speculative decoding: draft-propose / target-verify greedy generation, one
-compiled program (static shapes, ``lax.while_loop`` over rounds).
+"""Speculative decoding: draft-propose / target-verify generation, one compiled
+program (static shapes, ``lax.while_loop`` over rounds).
 
 Decode at small batch is weight-bandwidth-bound — every generated token reads every
 target weight once. A cheap draft model proposes ``gamma`` tokens autoregressively;
-the target then scores ALL of them in ONE forward pass (gamma query positions over
+the target then scores ALL of them in ONE forward pass (gamma+1 query positions over
 its KV cache — the same MaskInfo decode metadata as single-token decode, just Sq>1),
-so accepted tokens amortize one target weight-read over several tokens. Greedy
-verification makes the output EXACTLY the target's own greedy trajectory:
+so accepted tokens amortize one target weight-read over several tokens.
 
-    t_i     = argmax target(prefix + d_1..d_{i-1})    for i = 1..gamma
-    accept the longest prefix with d_i == t_i; the first mismatch is REPLACED by the
-    target's own t_{a+1} — so every emitted token is what target-only greedy decode
-    would have produced, and each round emits between 1 and gamma tokens.
+Greedy (temperature == 0): accept the longest prefix with d_i == argmax target(...);
+position a (the first mismatch, or the bonus position after a full accept) emits the
+target's own t_a — so every round emits a+1 ∈ [1, gamma+1] tokens, all equal to what
+target-only greedy decode would produce.
+
+Sampled (temperature > 0): standard speculative REJECTION sampling — draft token
+x_i ~ q_i is accepted with probability min(1, p_i(x_i)/q_i(x_i)); the first rejection
+resamples from norm(max(p_a - q_a, 0)); a full accept samples the bonus token from
+p_gamma. The emitted sequence is distributed EXACTLY as ancestral sampling from the
+target (the classic correctness proof; tested empirically on the pure accept step).
+p and q are the POST-filter distributions — softmax(filter_logits(...)) with the same
+temperature/top_k/top_p on both models, shared with models/generate.py so plain and
+speculative sampling agree on what "the target distribution" is.
 
 Cache rollback is free with static full-length caches: rejected positions' K/V stay
 in the buffer but ``kv_len`` masking hides them, and the next round overwrites them.
@@ -31,53 +39,114 @@ import jax
 import jax.numpy as jnp
 
 from llama_x_tpu.models import llama
+from llama_x_tpu.models.generate import filter_logits
 from llama_x_tpu.ops.attention import MaskInfo
 
 
 def _prefill(params, config, prompt, cache_dtype):
-    """Run the prompt through the trunk once, filling the cache. -> (cache, first_tok, pos)."""
+    """Run the prompt through the trunk once, filling the cache. -> (cache, last_h, pos)."""
     kv_cache = llama.init_kv_cache(config, 1, dtype=cache_dtype)
     x = jnp.take(params["tok_embeddings"]["weight"], prompt, axis=0)
     P = prompt.shape[1]
     pos = jnp.arange(P, dtype=jnp.int32)
     h, kv_cache = llama.trunk(params, config, x, MaskInfo(causal=True), kv_cache, input_pos=pos, prefill=True)
     logits = llama.head(params, config, h[:, -1:, :])
-    first = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)  # [1]
-    return kv_cache, first, jnp.asarray(P, jnp.int32)
+    return kv_cache, logits[:, 0], jnp.asarray(P, jnp.int32)
 
 
-def _draft_propose(params, config, cache, cur, pos, gamma):
-    """gamma greedy single-token draft steps. -> (cache, drafts [gamma])."""
+def _draft_propose(params, config, cache, prev, cur, pos, gamma, key, temperature, top_k, top_p):
+    """gamma draft steps. -> (cache, drafts [gamma], q_probs [gamma, V]).
 
-    def step(carry, _):
+    The FIRST step feeds [prev, cur] (two tokens, positions pos-1 and pos): after a
+    full-accept round the draft cache has a one-slot hole at pos-1 — the last draft
+    token was sampled from step-gamma logits but never processed, yet the round also
+    emitted the bonus token after it. Reprocessing prev fills the hole; in non-hole
+    rounds it recomputes an identical KV row (same token, same position, same cached
+    prefix), which is harmless.
+
+    Greedy: argmax drafts, q_probs is a placeholder (never read).
+    Sampled: drafts ~ q_i = softmax(filter_logits(logits)); q_probs are those rows."""
+
+    def sample(logits, step_key):  # logits [1, V]
+        if temperature == 0.0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32), jnp.zeros_like(logits, jnp.float32)
+        f = filter_logits(logits, temperature, top_k, top_p)
+        gumbel = jax.random.gumbel(step_key, f.shape, jnp.float32)
+        return jnp.argmax(f + gumbel, axis=-1).astype(jnp.int32), jax.nn.softmax(f, axis=-1)
+
+    keys = jax.random.split(key, gamma)
+
+    # step 1: [prev, cur] pair (fills the potential hole at pos-1)
+    pair = jnp.concatenate([prev, cur])[None, :]  # [1, 2]
+    x = jnp.take(params["tok_embeddings"]["weight"], pair, axis=0)
+    ppos = pos + jnp.arange(-1, 1, dtype=jnp.int32)
+    mask = MaskInfo(causal=True, q_positions=ppos[None, :], kv_len=(pos + 1)[None])
+    h, cache = llama.trunk(params, config, x, mask, cache, input_pos=ppos)
+    first_tok, first_q = sample(llama.head(params, config, h[:, -1:, :])[:, 0], keys[0])
+
+    def step(carry, step_key):
         cache, tok, p = carry
         x = jnp.take(params["tok_embeddings"]["weight"], tok[:, None], axis=0)
         mask = MaskInfo(causal=True, q_positions=p[None, None], kv_len=p[None] + 1)
         h, cache = llama.trunk(params, config, x, mask, cache, input_pos=p[None])
-        logits = llama.head(params, config, h)
-        nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
-        return (cache, nxt, p + 1), nxt[0]
+        nxt, q_row = sample(llama.head(params, config, h)[:, 0], step_key)
+        return (cache, nxt, p + 1), (nxt[0], q_row[0])
 
-    (cache, _, _), drafts = jax.lax.scan(step, (cache, cur, pos), length=gamma)
-    return cache, drafts
+    (cache, _, _), (rest, rest_q) = jax.lax.scan(step, (cache, first_tok, pos + 1), keys[1:])
+    drafts = jnp.concatenate([first_tok, rest])
+    q_probs = jnp.concatenate([first_q, rest_q], axis=0)
+    return cache, drafts, q_probs
 
 
 def _target_verify(params, config, cache, cur, drafts, pos, gamma):
-    """One target pass over [cur, d_1..d_{gamma-1}] at positions pos..pos+gamma-1.
-    -> (cache, targets [gamma]) where targets[i] = greedy next token after input i."""
-    inputs = jnp.concatenate([cur, drafts[:-1]])[None, :]  # [1, gamma]
+    """One target pass over [cur, d_1..d_gamma] at positions pos..pos+gamma.
+    -> (cache, logits [gamma+1, V]) where logits[i] scores the token AFTER input i
+    (so logits[gamma] is the bonus position following a fully-accepted draft)."""
+    inputs = jnp.concatenate([cur, drafts])[None, :]  # [1, gamma+1]
     x = jnp.take(params["tok_embeddings"]["weight"], inputs, axis=0)
-    qpos = pos + jnp.arange(gamma, dtype=jnp.int32)
-    mask = MaskInfo(causal=True, q_positions=qpos[None, :], kv_len=(pos + gamma)[None])
+    qpos = pos + jnp.arange(gamma + 1, dtype=jnp.int32)
+    mask = MaskInfo(causal=True, q_positions=qpos[None, :], kv_len=(pos + gamma + 1)[None])
     h, cache = llama.trunk(params, config, x, mask, cache, input_pos=qpos)
-    logits = llama.head(params, config, h)  # [1, gamma, V]
-    targets = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)  # [gamma]
-    return cache, targets
+    logits = llama.head(params, config, h)  # [1, gamma+1, V]
+    return cache, logits[0]
+
+
+def speculative_accept(key, drafts, q_probs, p_probs):
+    """The pure rejection-sampling step (Leviathan/Chen): drafts [gamma] ~ q rows,
+    q_probs [gamma, V], p_probs [gamma+1, V] (the target rows; the last is the bonus
+    position). -> (emitted [gamma+1], m) with m ∈ [1, gamma+1] valid tokens whose
+    joint law is exactly ancestral sampling of p (tested empirically)."""
+    gamma = drafts.shape[0]
+    u_key, res_key = jax.random.split(key)
+    idx = jnp.arange(gamma)
+    p_sel = p_probs[idx, drafts]
+    q_sel = q_probs[idx, drafts]
+    u = jax.random.uniform(u_key, (gamma,))
+    accept = u * q_sel < p_sel  # u < p/q without the 0/0 hazard (q>0 at sampled tokens)
+    a = jnp.argmin(jnp.concatenate([accept, jnp.asarray([False])]).astype(jnp.int32))
+    # position a: first rejection -> resample from norm(relu(p_a - q_a));
+    # full accept (a == gamma) -> q row is zeros, residual IS the bonus row p_gamma
+    p_a = jax.lax.dynamic_slice_in_dim(p_probs, a, 1, 0)[0]
+    q_a = jax.lax.dynamic_slice_in_dim(
+        jnp.concatenate([q_probs, jnp.zeros_like(q_probs[:1])]), a, 1, 0
+    )[0]
+    residual = jnp.maximum(p_a - q_a, 0.0)
+    correction = jax.random.categorical(res_key, jnp.log(residual)).astype(jnp.int32)
+    out_idx = jnp.arange(gamma + 1)
+    emitted = jnp.where(
+        out_idx < a,
+        jnp.concatenate([drafts, jnp.zeros((1,), jnp.int32)]),
+        jnp.where(out_idx == a, correction, 0),
+    )
+    return emitted, a + 1
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "draft_config", "max_new_tokens", "gamma", "eos_id", "pad_id", "cache_dtype"),
+    static_argnames=(
+        "config", "draft_config", "max_new_tokens", "gamma", "eos_id", "pad_id",
+        "cache_dtype", "temperature", "top_k", "top_p",
+    ),
 )
 def generate_speculative(
     params: dict[str, Any],
@@ -88,65 +157,94 @@ def generate_speculative(
     *,
     max_new_tokens: int,
     gamma: int = 4,
+    key: jax.Array | None = None,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
     eos_id: int = -1,
     pad_id: int = 0,
     cache_dtype=jnp.bfloat16,
 ):
     """prompt [1, P] int32 → (tokens [1, max_new_tokens], stats).
 
-    Greedy speculative decoding: the output is the target's own greedy trajectory —
-    exactly ``generate(params, config, prompt, temperature=0)`` in the f32 CPU tests.
-    On TPU bf16 a near-tie between the top-2 logits can resolve differently from
-    plain decode, because the verify pass batches gamma query positions into one
-    matmul (different accumulation order than the Sq=1 decode step); with trained
-    weights (non-degenerate logit gaps) the trajectories agree. ``draft_config``
-    must share the vocab (same tokenizer).
-    stats = {"target_passes": int32} — tokens / target_passes is the measured
-    per-pass acceptance (upper-bounded by gamma).
+    temperature == 0: greedy — the output is the target's own greedy trajectory,
+    exactly ``generate(..., temperature=0)`` in the f32 CPU tests. (On TPU bf16 a
+    near-tie between the top-2 logits can resolve differently from plain decode,
+    because the verify pass batches gamma+1 query positions into one matmul —
+    different accumulation order than the Sq=1 decode step; with trained weights the
+    trajectories agree.)
+
+    temperature > 0: speculative rejection sampling — emitted tokens are distributed
+    exactly as target-only ancestral sampling with the same temperature/top_k/top_p.
+
+    ``draft_config`` must share the vocab (same tokenizer).
+    stats = {"target_passes": int32, "tokens_emitted": int32} — tokens / target_passes
+    is the measured per-pass acceptance (upper-bounded by gamma + 1: a full accept
+    also emits the bonus token sampled at the verify pass's last position).
     """
     assert prompt.shape[0] == 1, "speculative decode is B=1 (see module docstring)"
     P = prompt.shape[1]
-    assert P + max_new_tokens + gamma <= config.max_seq_len
+    assert P + max_new_tokens + gamma + 1 <= config.max_seq_len
     assert P + max_new_tokens + gamma <= draft_config.max_seq_len
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    key, first_key = jax.random.split(key)
 
-    t_cache, first, t_pos = _prefill(params, config, prompt, cache_dtype)
+    t_cache, first_logits, t_pos = _prefill(params, config, prompt, cache_dtype)
     d_cache, _, d_pos = _prefill(draft_params, draft_config, prompt, cache_dtype)
+    if temperature == 0.0:
+        first = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)
+    else:
+        f = filter_logits(first_logits, temperature, top_k, top_p)
+        first = jnp.argmax(f + jax.random.gumbel(first_key, f.shape, jnp.float32), axis=-1).astype(jnp.int32)
 
-    buf = jnp.full((max_new_tokens + gamma,), pad_id, jnp.int32)
+    buf = jnp.full((max_new_tokens + gamma + 1,), pad_id, jnp.int32)
     buf = buf.at[0].set(first[0])
-    # carry: (t_cache, d_cache, cur, t_pos, d_pos, buf, n_out, done, rounds)
-    init = (t_cache, d_cache, first, t_pos, d_pos, buf, jnp.asarray(1, jnp.int32),
-            first[0] == eos_id, jnp.asarray(0, jnp.int32))
+    prev0 = prompt[0, -1:]  # the token before `first` in the sequence
+    # carry: (t_cache, d_cache, prev, cur, t_pos, d_pos, buf, n_out, done, rounds, key)
+    init = (t_cache, d_cache, prev0, first, t_pos, d_pos, buf, jnp.asarray(1, jnp.int32),
+            first[0] == eos_id, jnp.asarray(0, jnp.int32), key)
 
     def cond(carry):
-        *_, n_out, done, _ = carry
+        *_, n_out, done, _, _ = carry
         return (n_out < max_new_tokens) & ~done
 
     def body(carry):
-        t_cache, d_cache, cur, t_pos, d_pos, buf, n_out, done, rounds = carry
-        d_cache, drafts = _draft_propose(draft_params, draft_config, d_cache, cur, d_pos, gamma)
-        t_cache, targets = _target_verify(params, config, t_cache, cur, drafts, t_pos, gamma)
+        t_cache, d_cache, prev, cur, t_pos, d_pos, buf, n_out, done, rounds, key = carry
+        key, d_key, a_key = jax.random.split(key, 3)
+        d_cache, drafts, q_probs = _draft_propose(
+            draft_params, draft_config, d_cache, prev, cur, d_pos, gamma, d_key, temperature, top_k, top_p
+        )
+        t_cache, t_logits = _target_verify(params, config, t_cache, cur, drafts, t_pos, gamma)
 
-        match = drafts == targets                       # [gamma]
-        n_acc = jnp.argmin(jnp.concatenate([match, jnp.asarray([False])]).astype(jnp.int32))
-        # emit a+1 tokens on a mismatch (a accepted + the target's correction),
-        # gamma on full accept (targets == drafts there, so buf gets the right tokens)
-        m = jnp.minimum(n_acc + 1, gamma)
+        if temperature == 0.0:
+            targets = jnp.argmax(t_logits, axis=-1).astype(jnp.int32)  # [gamma+1]
+            match = drafts == targets[:gamma]
+            a = jnp.argmin(jnp.concatenate([match, jnp.asarray([False])]).astype(jnp.int32))
+            # emit a accepted drafts (== targets[:a]) + the correction-or-bonus
+            # targets[a]: every emitted token is the target's own greedy choice
+            emitted, m = targets, a + 1
+        else:
+            p_probs = jax.nn.softmax(filter_logits(t_logits, temperature, top_k, top_p), axis=-1)
+            emitted, m = speculative_accept(a_key, drafts, q_probs, p_probs)
 
-        idx = jnp.arange(gamma)
-        emitted = jnp.where(idx < m, targets, pad_id)
+        idx = jnp.arange(gamma + 1)
+        emitted = jnp.where(idx < m, emitted, pad_id)
         hit_eos = jnp.any((emitted == eos_id) & (idx < m)) if eos_id >= 0 else jnp.asarray(False)
         # stop emitting at eos within the round
-        eos_cut = jnp.argmax((emitted == eos_id) & (idx < m)) if eos_id >= 0 else gamma
+        eos_cut = jnp.argmax((emitted == eos_id) & (idx < m)) if eos_id >= 0 else gamma + 1
         m = jnp.where(hit_eos, jnp.minimum(m, eos_cut + 1), m)
         emitted = jnp.where(idx < m, emitted, pad_id)
 
         buf = jax.lax.dynamic_update_slice(buf, emitted, (n_out,))
-        cur = jax.lax.dynamic_slice(emitted, (m - 1,), (1,))  # last emitted token
-        return (t_cache, d_cache, cur, t_pos + m, d_pos + m, buf, n_out + m,
-                done | hit_eos, rounds + 1)
+        # the new (prev, cur) are the last two sequence tokens: padded[m-1], padded[m]
+        padded = jnp.concatenate([cur, emitted])
+        prev = jax.lax.dynamic_slice(padded, (m - 1,), (1,))
+        cur = jax.lax.dynamic_slice(padded, (m,), (1,))
+        return (t_cache, d_cache, prev, cur, t_pos + m, d_pos + m, buf, n_out + m,
+                done | hit_eos, rounds + 1, key)
 
-    *_, buf, n_out, done, rounds = jax.lax.while_loop(cond, body, init)
+    *_, buf, n_out, done, rounds, _ = jax.lax.while_loop(cond, body, init)
 
     out = buf[:max_new_tokens][None, :]
     # pad everything past the first eos (and past n_out, for eos-terminated runs)

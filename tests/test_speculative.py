@@ -1,5 +1,6 @@
 """Speculative decoding (models/speculative.py): greedy draft/verify must reproduce
-the target model's own greedy trajectory exactly, at fewer target passes."""
+the target model's own greedy trajectory exactly, at fewer target passes; the sampled
+path's rejection step must preserve the target distribution."""
 
 import jax
 import jax.numpy as jnp
@@ -35,8 +36,9 @@ def test_speculative_matches_target_greedy():
 
 
 def test_speculative_self_draft_full_acceptance():
-    """Target as its own draft: every proposal accepted -> gamma tokens per verify
-    pass, so target_passes ~ 1 (prefill) + ceil((n-1)/gamma)."""
+    """Target as its own draft: every proposal accepted -> gamma+1 tokens per verify
+    pass (gamma drafts + the bonus token at the verify pass's last position), so
+    target_passes ~ 1 (prefill) + ceil((n-1)/(gamma+1))."""
     config, params, _, _ = _models()
     prompt = jnp.asarray(np.random.default_rng(1).integers(0, config.vocab_size, (1, 8)), jnp.int32)
 
@@ -47,7 +49,7 @@ def test_speculative_self_draft_full_acceptance():
         max_new_tokens=n, gamma=gamma, cache_dtype=jnp.float32,
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
-    assert int(stats["target_passes"]) == 1 + int(np.ceil((n - 1) / gamma))
+    assert int(stats["target_passes"]) == 1 + int(np.ceil((n - 1) / (gamma + 1)))
 
 
 def test_speculative_eos_padding():
@@ -76,3 +78,53 @@ def test_speculative_gamma_one():
         max_new_tokens=10, gamma=1, cache_dtype=jnp.float32,
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_rejection_sampling_preserves_target_distribution():
+    """The pure accept step (speculative_accept): over many keys, the FIRST emitted
+    token's empirical law must be the target row p_0 — regardless of how bad the
+    draft q is. This is the mathematical content of speculative sampling."""
+    from llama_x_tpu.models.speculative import speculative_accept
+
+    rng = np.random.default_rng(7)
+    V, gamma = 11, 3
+    q = rng.dirichlet(np.ones(V) * 0.6, size=gamma).astype(np.float32)
+    p = rng.dirichlet(np.ones(V) * 0.6, size=gamma + 1).astype(np.float32)
+    q_j, p_j = jnp.asarray(q), jnp.asarray(p)
+
+    n = 40_000
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    draft_keys = jax.random.split(jax.random.PRNGKey(1), n)
+
+    @jax.jit
+    @jax.vmap
+    def trial(key, d_key):
+        # drafts ~ q rows (the accept step's contract)
+        drafts = jax.vmap(lambda k, row: jax.random.categorical(k, jnp.log(row)))(
+            jax.random.split(d_key, gamma), q_j
+        ).astype(jnp.int32)
+        emitted, m = speculative_accept(key, drafts, q_j, p_j)
+        return emitted[0], m
+
+    first, m = trial(keys, draft_keys)
+    counts = np.bincount(np.asarray(first), minlength=V) / n
+    # 40k samples: per-bin standard error ~ sqrt(p/n) <= 0.0025 — 4 sigma tolerance
+    np.testing.assert_allclose(counts, p[0], atol=0.012)
+    assert 1 <= int(np.asarray(m).min()) and int(np.asarray(m).max()) <= gamma + 1
+
+
+def test_sampled_speculative_self_draft_always_accepts():
+    """Sampled path, target as its own draft: p == q makes the acceptance ratio 1, so
+    every round emits gamma+1 tokens — ancestral sampling from the target at
+    ceil(n/(gamma+1)) verify passes. Also pins the sampled path end-to-end."""
+    config, params, _, _ = _models()
+    prompt = jnp.asarray(np.random.default_rng(4).integers(0, config.vocab_size, (1, 8)), jnp.int32)
+    n, gamma = 24, 3
+    got, stats = generate_speculative(
+        params, config, params, config, prompt,
+        max_new_tokens=n, gamma=gamma, key=jax.random.PRNGKey(5),
+        temperature=0.8, top_k=0, top_p=0.95, cache_dtype=jnp.float32,
+    )
+    assert got.shape == (1, n)
+    assert int(stats["tokens_emitted"]) >= n
+    assert int(stats["target_passes"]) == 1 + int(np.ceil((n - 1) / (gamma + 1)))

@@ -8,8 +8,9 @@ needs trained weights (see README's recipe):
 - plain:       target-only greedy decode (the baseline every row compares to)
 - spec_floor:  tiny uncorrelated draft — worst case, every round pays gamma draft
                steps + one verify pass and emits ~1 token
-- spec_ceiling: target as its own draft — acceptance is exactly gamma (the greedy
-               verify reproduces the drafts), validating the full-acceptance path at
+- spec_ceiling: target as its own draft — acceptance is exactly gamma+1 per round
+               (the greedy verify reproduces the drafts, plus the bonus token at the
+               verify pass's last position), validating the full-acceptance path at
                speed; NOT a speedup claim (a self-draft costs as much as the target)
 
 Artifact: runs/bench_speculative/speculative.json.
@@ -84,11 +85,12 @@ def main():
 
     # arithmetic, not a measurement: the floor row's round cost (gamma cheap-draft
     # steps + one verify pass) is acceptance-independent, so a trained draft whose
-    # proposals all get accepted would emit gamma tokens per round at that same cost
+    # proposals all get accepted would emit gamma+1 tokens per round at that same cost
+    mult = args.gamma + 1
     rows["cheap_draft_full_accept_est"] = {
-        "tok_s": round(rows["spec_floor"]["tok_s"] * args.gamma, 1),
-        "vs_plain": round(rows["spec_floor"]["tok_s"] * args.gamma / rows["plain"]["tok_s"], 2),
-        "note": "computed = gamma x spec_floor (same round cost, gamma tokens emitted)",
+        "tok_s": round(rows["spec_floor"]["tok_s"] * mult, 1),
+        "vs_plain": round(rows["spec_floor"]["tok_s"] * mult / rows["plain"]["tok_s"], 2),
+        "note": "computed = (gamma+1) x spec_floor (same round cost, gamma+1 tokens emitted)",
     }
     print(f"cheap-draft full-accept estimate: {rows['cheap_draft_full_accept_est']['tok_s']} tok/s "
           f"({rows['cheap_draft_full_accept_est']['vs_plain']}x plain)", flush=True)

@@ -45,7 +45,7 @@ def main():
     parser.add_argument("--max_seq_len", type=int, default=0,
                         help="cap the KV cache (0: model config; smaller = less HBM)")
     parser.add_argument("--no_eos", action="store_true", help="ignore eos, always emit max_new_tokens")
-    parser.add_argument("--draft_model", help="HF dir of a draft model: greedy speculative decoding")
+    parser.add_argument("--draft_model", help="HF dir of a draft model: speculative decoding (greedy or sampled)")
     parser.add_argument("--draft_resume", help="training run dir of a draft model")
     parser.add_argument("--gamma", type=int, default=4, help="speculative draft length per round")
     args = parser.parse_args()
@@ -97,7 +97,6 @@ def main():
     params, config = load(args.model, args.resume)
     draft = None
     if args.draft_model or args.draft_resume:
-        assert args.temperature == 0.0, "speculative decoding is greedy-only (drop --temperature)"
         draft = load(args.draft_model, args.draft_resume)
         from llama_x_tpu.models.speculative import generate_speculative
 
@@ -111,10 +110,12 @@ def main():
         eos_id = -1 if args.no_eos else tok.eos_id
         t0 = time.perf_counter()
         if draft is not None:
-            n_new = min(n_new, config.max_seq_len - len(ids) - args.gamma)
+            n_new = min(n_new, config.max_seq_len - len(ids) - args.gamma - 1)
             out, stats = generate_speculative(
                 params, config, draft[0], draft[1], jnp.asarray([ids], jnp.int32),
-                max_new_tokens=n_new, gamma=args.gamma, eos_id=eos_id, pad_id=tok.pad_id,
+                max_new_tokens=n_new, gamma=args.gamma, key=sub,
+                temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
+                eos_id=eos_id, pad_id=tok.pad_id,
             )
         else:
             out = generate(
