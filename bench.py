@@ -49,6 +49,11 @@ def qlora_step_flops(config, text_len: int, n_lora: int) -> float:
     return trunk + head + lora + attn
 
 
+# dgrads through the frozen int8 base on the int8 MXU path (ops/int8.py
+# dynamic_int8_bwd); --no_int8_bwd reverts to bf16 dgrads for comparison
+INT8_BWD = True
+
+
 def build_8b_qlora():
     """Llama-3.1-8B geometry, int8 base + LoRA, generated on-device."""
     from llama_x_tpu.adapters import apply_linear_adapter, trainable_mask
@@ -61,6 +66,7 @@ def build_8b_qlora():
         rope_base=500_000.0, is_llama3_1=True,
         activation_checkpointing=True, remat_policy="flash",
         fused_ce_chunks=8, attn_impl="auto", dynamic_int8_act=True,
+        dynamic_int8_bwd=INT8_BWD,
     )
     L, D = config.num_layers, config.embed_dim
     HD, NH, NKV, F, V = config.head_dim, config.num_heads, config.num_kv_heads, config.intermediate_dim, config.vocab_size
@@ -260,7 +266,11 @@ def main():
     apply_platform_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="8b", choices=["8b", "1b"])
+    parser.add_argument("--no_int8_bwd", action="store_true",
+                        help="bf16 dgrads through the frozen base (pre-int8-bwd behavior)")
     args = parser.parse_args()
+    global INT8_BWD
+    INT8_BWD = not args.no_int8_bwd
     # compile_s in the output JSON reflects the persistent cache state: ~10 min on a
     # true cold start, seconds when ~/.cache/llama_x_tpu holds the executable
     enable_compilation_cache()

@@ -63,6 +63,7 @@ class LlamaConfig:
     attn_impl: str = "auto"  # "auto" | "xla" | "flash" | "ring" | "ulysses"
     fused_ce_chunks: int = 0  # 0 = plain CE; >0 = chunked fused-linear CE
     dynamic_int8_act: bool = False  # set by the quantize transform
+    dynamic_int8_bwd: bool = False  # int8 MXU dgrads through the frozen base (ops/int8.py)
     norm_eps: float = 1e-5
     # remat policy when activation_checkpointing: "full" recomputes everything;
     # "dots" saves matmul outputs (jax dots_with_no_batch_dims_saveable) — faster
@@ -170,9 +171,9 @@ def attention(
     """
     c = config
     B, S, _ = x.shape
-    q = apply_linear(x, p["wq"], dynamic_int8_act=c.dynamic_int8_act).reshape(B, S, c.num_heads, c.head_dim)
-    k = apply_linear(x, p["wk"], dynamic_int8_act=c.dynamic_int8_act).reshape(B, S, c.num_kv_heads, c.head_dim)
-    v = apply_linear(x, p["wv"], dynamic_int8_act=c.dynamic_int8_act).reshape(B, S, c.num_kv_heads, c.head_dim)
+    q = apply_linear(x, p["wq"], dynamic_int8_act=c.dynamic_int8_act, dynamic_int8_bwd=c.dynamic_int8_bwd).reshape(B, S, c.num_heads, c.head_dim)
+    k = apply_linear(x, p["wk"], dynamic_int8_act=c.dynamic_int8_act, dynamic_int8_bwd=c.dynamic_int8_bwd).reshape(B, S, c.num_kv_heads, c.head_dim)
+    v = apply_linear(x, p["wv"], dynamic_int8_act=c.dynamic_int8_act, dynamic_int8_bwd=c.dynamic_int8_bwd).reshape(B, S, c.num_kv_heads, c.head_dim)
 
     if input_pos is None:
         q = apply_rope(q, rope)
@@ -231,7 +232,7 @@ def attention(
                 q, kd.transpose(0, 2, 1, 3), vd.transpose(0, 2, 1, 3), mask_info
             )
         out = out.reshape(B, S, c.num_heads * c.head_dim)
-        return apply_linear(out, p["wo"], dynamic_int8_act=c.dynamic_int8_act), new_cache
+        return apply_linear(out, p["wo"], dynamic_int8_act=c.dynamic_int8_act, dynamic_int8_bwd=c.dynamic_int8_bwd), new_cache
 
     use_dropout = config.attn_dropout > 0.0 and dropout_rng is not None
     use_flash = (
@@ -276,14 +277,15 @@ def attention(
         )
 
     out = out.reshape(B, S, c.num_heads * c.head_dim)
-    return apply_linear(out, p["wo"], dynamic_int8_act=c.dynamic_int8_act), new_cache
+    return apply_linear(out, p["wo"], dynamic_int8_act=c.dynamic_int8_act, dynamic_int8_bwd=c.dynamic_int8_bwd), new_cache
 
 
 def feed_forward(p: Params, config: LlamaConfig, x: jnp.ndarray) -> jnp.ndarray:
     """SwiGLU: w2(silu(w1 x) * w3 x) (≡ modelling/llama.py:143-152)."""
-    d = config.dynamic_int8_act
-    h = jax.nn.silu(apply_linear(x, p["w1"], dynamic_int8_act=d)) * apply_linear(x, p["w3"], dynamic_int8_act=d)
-    return apply_linear(h, p["w2"], dynamic_int8_act=d)
+    d, db = config.dynamic_int8_act, config.dynamic_int8_bwd
+    h = jax.nn.silu(apply_linear(x, p["w1"], dynamic_int8_act=d, dynamic_int8_bwd=db)) * apply_linear(
+        x, p["w3"], dynamic_int8_act=d, dynamic_int8_bwd=db)
+    return apply_linear(h, p["w2"], dynamic_int8_act=d, dynamic_int8_bwd=db)
 
 
 def block(

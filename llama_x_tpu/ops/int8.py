@@ -95,12 +95,28 @@ def int8_mm_dequant_nt(a_i8, b_nk_i8, row_scale, col_scale, out_dtype=jnp.bfloat
     return _int8_mm_dequant_nt_xla(a_i8, b_nk_i8, row_scale, col_scale, out_dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def int8_linear(x: jnp.ndarray, int_data: jnp.ndarray, scale: jnp.ndarray, dynamic_int8_act: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def int8_linear(
+    x: jnp.ndarray,
+    int_data: jnp.ndarray,
+    scale: jnp.ndarray,
+    dynamic_int8_act: bool = False,
+    dynamic_int8_bwd: bool = False,
+):
     """x [..., in] @ dequant(W).T where W = {int_data [out, in], scale [out]}.
 
     custom_vjp reproduces _Int8Linear (subclasses/int8.py:106-130): no weight grad,
     grad_input = (g * scale) @ int_data.
+
+    ``dynamic_int8_bwd`` additionally runs the dgrad on the int8 MXU path: the weight
+    scale folds into g BEFORE rowwise quantization (it multiplies the contraction
+    dim, so it cannot live in the epilogue), then (q(g*s) @ W_i8) * g_scale — same
+    layout trick as the fwd (int_data consumed natively as the [K=out, N=in] operand,
+    no transpose in the graph). int8 peak is ~2x bf16 on the MXU and dgrads through
+    the frozen base are the single biggest slice of the 8B QLoRA step; the gradient
+    rowwise-quant noise (~0.4%/row) is the trade — measured equivalent on the
+    synthetic convergence artifacts before this became a supported config
+    (runs/int8_bwd_quality).
     """
     return _int8_linear_fwd_impl(x, int_data, scale, dynamic_int8_act)
 
@@ -122,14 +138,24 @@ def _int8_linear_fwd_impl(x, int_data, scale, dynamic_int8_act):
     return out.reshape(*lead, int_data.shape[0])
 
 
-def _int8_linear_fwd(x, int_data, scale, dynamic_int8_act):
+def _int8_linear_fwd(x, int_data, scale, dynamic_int8_act, dynamic_int8_bwd):
     out = _int8_linear_fwd_impl(x, int_data, scale, dynamic_int8_act)
     # zero-size sentinel carries x.dtype through the residuals (dtypes aren't JAX types)
     return out, (int_data, scale, jnp.zeros((0,), x.dtype))
 
 
-def _int8_linear_bwd(dynamic_int8_act, res, g):
+def _int8_linear_bwd(dynamic_int8_act, dynamic_int8_bwd, res, g):
     int_data, scale, x_proto = res
+    if dynamic_int8_bwd:
+        lead = g.shape[:-1]
+        g2 = g.reshape(-1, g.shape[-1])
+        # fold the weight scale into g, then rowwise-quantize: the scale multiplies
+        # the contraction dim (out), so gx = q(g*s) @ W_i8 * g_scale is exact in the
+        # scales and int8-rounded in g — the only lossy step
+        g_i8, g_scale = quantize_int8_rowwise(g2 * scale.astype(g2.dtype))
+        ones = jnp.ones((int_data.shape[1],), jnp.float32)
+        gx = int8_mm_dequant(g_i8, int_data, g_scale, ones, out_dtype=x_proto.dtype)
+        return gx.reshape(*lead, int_data.shape[1]), None, None
     # grad_input = (g * w_scale) @ W_i8   (subclasses/int8.py:127)
     gx = (g * scale.astype(g.dtype)) @ int_data.astype(g.dtype)
     return gx.astype(x_proto.dtype), None, None

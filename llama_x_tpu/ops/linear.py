@@ -29,9 +29,9 @@ import jax.numpy as jnp
 from llama_x_tpu.ops.int8 import int8_linear
 
 
-def _base_matmul(x: jnp.ndarray, p: dict, dynamic_int8_act: bool) -> jnp.ndarray:
+def _base_matmul(x: jnp.ndarray, p: dict, dynamic_int8_act: bool, dynamic_int8_bwd: bool) -> jnp.ndarray:
     if "int_data" in p:
-        return int8_linear(x, p["int_data"], p["scale"], dynamic_int8_act)
+        return int8_linear(x, p["int_data"], p["scale"], dynamic_int8_act, dynamic_int8_bwd)
     return x @ p["kernel"].astype(x.dtype)
 
 
@@ -42,8 +42,10 @@ def _dequant_kernel(p: dict) -> jnp.ndarray:
     return p["kernel"].astype(jnp.float32)
 
 
-def apply_linear(x: jnp.ndarray, p: dict, *, dynamic_int8_act: bool = False) -> jnp.ndarray:
-    out = _base_matmul(x, p, dynamic_int8_act)
+def apply_linear(
+    x: jnp.ndarray, p: dict, *, dynamic_int8_act: bool = False, dynamic_int8_bwd: bool = False
+) -> jnp.ndarray:
+    out = _base_matmul(x, p, dynamic_int8_act, dynamic_int8_bwd)
 
     is_dora = "m" in p
     if "lora_a" in p:

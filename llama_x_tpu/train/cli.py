@@ -178,8 +178,9 @@ def build_model_params(args, model_cls, mesh=None, init_kwargs=None, hf_kwargs=N
 
     if args.quantize:
         dynamic = bool(args.quantize_kwargs.get("dynamic_int8_act", False))
+        dynamic_bwd = bool(args.quantize_kwargs.get("dynamic_int8_bwd", False))
         params = dict(params, layers=quantize_linear(params["layers"], args.quantize))
-        config = config.replace(dynamic_int8_act=dynamic)
+        config = config.replace(dynamic_int8_act=dynamic, dynamic_int8_bwd=dynamic_bwd)
     if args.adapter:
         params = dict(
             params,

@@ -141,3 +141,31 @@ def test_int8_linear_forward_and_backward():
     # dynamic act quant path runs (XLA fallback on CPU) and is close to the float matmul
     out_dyn = int8_linear(x, int_data, scale, True)
     np.testing.assert_allclose(np.asarray(out_dyn), expected, rtol=0.05, atol=0.1)
+
+
+def test_int8_linear_quantized_backward():
+    """dynamic_int8_bwd: dgrad runs as q(g*scale) @ W_i8 * g_scale — must track the fp
+    dgrad within rowwise int8 noise, be exact when g*scale rows are exactly
+    representable, and still produce no weight grad."""
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((6, 64)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((32, 64)).astype(np.float32))
+    int_data, scale = quantize_int8_rowwise(w)
+
+    def loss(xx, bwd):
+        return jnp.sum(int8_linear(xx, int_data, scale, False, bwd) * cot)
+
+    # random cotangent so the dgrad is non-trivial
+    cot = jnp.asarray(rng.standard_normal((6, 32)).astype(np.float32))
+    gx_fp = jax.grad(loss)(x, False)
+    gx_q = jax.grad(loss)(x, True)
+    # rowwise int8 noise on g*scale: per-row error <= step/2, through a 32-length dot
+    denom = np.abs(np.asarray(gx_fp)).max()
+    assert np.abs(np.asarray(gx_q) - np.asarray(gx_fp)).max() <= 0.02 * denom
+
+    # exactness when each row of g*scale is already an exact multiple of its step:
+    # cot row = const/scale makes (g*scale) constant per row -> quantizes losslessly
+    cot = jnp.asarray(1.0 / np.asarray(scale))[None, :] * jnp.ones((6, 32), jnp.float32)
+    gx_fp = jax.grad(loss)(x, False)
+    gx_q = jax.grad(loss)(x, True)
+    np.testing.assert_allclose(np.asarray(gx_q), np.asarray(gx_fp), rtol=2e-5, atol=2e-5)
