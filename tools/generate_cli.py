@@ -45,6 +45,8 @@ def main():
     parser.add_argument("--max_seq_len", type=int, default=0,
                         help="cap the KV cache (0: model config; smaller = less HBM)")
     parser.add_argument("--no_eos", action="store_true", help="ignore eos, always emit max_new_tokens")
+    parser.add_argument("--kv_dtype", default="bf16", choices=["bf16", "int8"],
+                        help="KV cache dtype: int8 halves cache HBM traffic + residency")
     parser.add_argument("--draft_model", help="HF dir of a draft model: speculative decoding (greedy or sampled)")
     parser.add_argument("--draft_resume", help="training run dir of a draft model")
     parser.add_argument("--gamma", type=int, default=4, help="speculative draft length per round")
@@ -109,20 +111,21 @@ def main():
         key, sub = jax.random.split(key)
         eos_id = -1 if args.no_eos else tok.eos_id
         t0 = time.perf_counter()
+        cache_dtype = jnp.int8 if args.kv_dtype == "int8" else jnp.bfloat16
         if draft is not None:
             n_new = min(n_new, config.max_seq_len - len(ids) - args.gamma - 1)
             out, stats = generate_speculative(
                 params, config, draft[0], draft[1], jnp.asarray([ids], jnp.int32),
                 max_new_tokens=n_new, gamma=args.gamma, key=sub,
                 temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
-                eos_id=eos_id, pad_id=tok.pad_id,
+                eos_id=eos_id, pad_id=tok.pad_id, cache_dtype=cache_dtype,
             )
         else:
             out = generate(
                 params, config, jnp.asarray([ids], jnp.int32),
                 max_new_tokens=n_new, key=sub,
                 temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
-                eos_id=eos_id, pad_id=tok.pad_id,
+                eos_id=eos_id, pad_id=tok.pad_id, cache_dtype=cache_dtype,
             )
         row = [int(t) for t in np.asarray(out)[0] if t not in (tok.pad_id, tok.eos_id)]
         dt = time.perf_counter() - t0
