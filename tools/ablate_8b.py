@@ -12,6 +12,9 @@ Measured (v5e, 2026-08-17, post GEMM retune):
     remat=dots_flash                      FAIL (compile-time OOM: saving matmul
                                           outputs does not fit 8B S=4096 in 16 GB)
 
+Re-measured with int8 dgrads (dynamic_int8_bwd, same day): same ordering —
+    baseline 971.4 | ce_chunks=4 967.6 (tie) | ce_chunks=16 992.0 | dots_flash FAIL
+
 usage: PYTHONPATH=/root/.axon_site:/root/repo python tools/ablate_8b.py
 """
 

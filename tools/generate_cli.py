@@ -47,6 +47,9 @@ def main():
     parser.add_argument("--no_eos", action="store_true", help="ignore eos, always emit max_new_tokens")
     parser.add_argument("--kv_dtype", default="bf16", choices=["bf16", "int8"],
                         help="KV cache dtype: int8 halves cache HBM traffic + residency")
+    parser.add_argument("--template", choices=["alpaca"],
+                        help="wrap each prompt in the training prompt template "
+                             "(alpaca = the MetaMathQA SFT format, data/metamathqa.py)")
     parser.add_argument("--draft_model", help="HF dir of a draft model: speculative decoding (greedy or sampled)")
     parser.add_argument("--draft_resume", help="training run dir of a draft model")
     parser.add_argument("--gamma", type=int, default=4, help="speculative draft length per round")
@@ -101,6 +104,11 @@ def main():
     if args.draft_model or args.draft_resume:
         draft = load(args.draft_model, args.draft_resume)
         from llama_x_tpu.models.speculative import generate_speculative
+
+    if args.template == "alpaca":
+        from llama_x_tpu.data.metamathqa import PROMPT_TEMPLATE
+
+        prompts = [PROMPT_TEMPLATE.format(query=p) for p in prompts]
 
     key = jax.random.PRNGKey(args.seed)
     for i, prompt in enumerate(prompts):
