@@ -171,9 +171,20 @@ def attention(
     """
     c = config
     B, S, _ = x.shape
-    q = apply_linear(x, p["wq"], dynamic_int8_act=c.dynamic_int8_act, dynamic_int8_bwd=c.dynamic_int8_bwd).reshape(B, S, c.num_heads, c.head_dim)
-    k = apply_linear(x, p["wk"], dynamic_int8_act=c.dynamic_int8_act, dynamic_int8_bwd=c.dynamic_int8_bwd).reshape(B, S, c.num_kv_heads, c.head_dim)
-    v = apply_linear(x, p["wv"], dynamic_int8_act=c.dynamic_int8_act, dynamic_int8_bwd=c.dynamic_int8_bwd).reshape(B, S, c.num_kv_heads, c.head_dim)
+    from jax.ad_checkpoint import checkpoint_name
+
+    # names are no-ops unless the remat policy saves them ("flash_qkv"): saving the
+    # three projection outputs (~48 MB/layer at 8B) lets the backward skip their
+    # int8-GEMM recompute
+    q = checkpoint_name(
+        apply_linear(x, p["wq"], dynamic_int8_act=c.dynamic_int8_act, dynamic_int8_bwd=c.dynamic_int8_bwd), "qkv_proj"
+    ).reshape(B, S, c.num_heads, c.head_dim)
+    k = checkpoint_name(
+        apply_linear(x, p["wk"], dynamic_int8_act=c.dynamic_int8_act, dynamic_int8_bwd=c.dynamic_int8_bwd), "qkv_proj"
+    ).reshape(B, S, c.num_kv_heads, c.head_dim)
+    v = checkpoint_name(
+        apply_linear(x, p["wv"], dynamic_int8_act=c.dynamic_int8_act, dynamic_int8_bwd=c.dynamic_int8_bwd), "qkv_proj"
+    ).reshape(B, S, c.num_kv_heads, c.head_dim)
 
     if input_pos is None:
         q = apply_rope(q, rope)
@@ -321,6 +332,11 @@ def remat_policy(config: LlamaConfig):
         )
     if config.remat_policy == "flash":
         return jax.checkpoint_policies.save_only_these_names("flash_residuals")
+    if config.remat_policy == "flash_qkv":
+        # flash residuals + q/k/v projection outputs (~48 MB/layer at 8B, ~1.5 GB for
+        # 32 layers): the backward skips recomputing the three projection int8 GEMMs
+        # AND their RoPE. Between "flash" (min memory) and "dots_flash" (OOM at 8B).
+        return jax.checkpoint_policies.save_only_these_names("flash_residuals", "qkv_proj")
     return None
 
 

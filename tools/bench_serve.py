@@ -76,12 +76,12 @@ def build_params(config, quantize: bool, key):
     }
 
 
-def bench(config, params, B, n_new=128, prompt_len=512):
+def bench(config, params, B, n_new=128, prompt_len=512, cache_dtype=jnp.bfloat16):
     prompt = jnp.asarray(np.random.default_rng(0).integers(1, config.vocab_size, (B, prompt_len)), jnp.int32)
-    out = np.asarray(generate(params, config, prompt, max_new_tokens=n_new))  # compile
+    run = lambda: generate(params, config, prompt, max_new_tokens=n_new, cache_dtype=cache_dtype)
+    out = np.asarray(run())  # compile
     t0 = time.perf_counter()
-    out = generate(params, config, prompt, max_new_tokens=n_new)
-    _ = np.asarray(out)
+    out = np.asarray(run())
     dt = time.perf_counter() - t0
     return B * n_new / dt
 
@@ -117,14 +117,24 @@ def main():
         print(f"1b B={B}: bf16 {row['bf16_tok_s']:7.1f} tok/s | int8 {row['int8_tok_s']:7.1f} tok/s "
               f"| speedup {row['int8_speedup']:.2f}x", flush=True)
 
-    # --- 8B int8: the single-chip serving configuration. B=8 @ 4k cache OOMs
-    # (8 GB weights + 8.6 GB KV, measured 16.53G/15.75G) — B=4 is the chip's ceiling ---
+    # --- 8B int8 weights: the single-chip serving configuration. With a bf16 KV
+    # cache, B=8 @ 4k OOMs (8 GB weights + 8.6 GB KV, measured 16.53G/15.75G) — B=4
+    # is that config's ceiling. The int8 KV cache (cache_dtype=int8) halves cache
+    # residency, so B=8 fits and becomes the single-chip throughput point. ---
     config = llama.LlamaConfig(**GEOMETRIES["8b"], max_seq_len=4096)
     params = build_params(config, True, jax.random.PRNGKey(1))
-    for B in (1, 4):
-        tps = bench(config, params, B, args.new_tokens)
-        rows.append({"geometry": "8b", "B": B, "cache_len": 4096, "int8_tok_s": round(tps, 1)})
-        print(f"8b B={B}: int8 {tps:7.1f} tok/s", flush=True)
+    for B, kv in ((1, "bf16"), (1, "int8"), (4, "bf16"), (4, "int8"), (8, "int8")):
+        try:
+            tps = bench(config, params, B, args.new_tokens,
+                        cache_dtype=jnp.int8 if kv == "int8" else jnp.bfloat16)
+        except Exception as e:  # noqa: BLE001 — record, keep the run alive
+            rows.append({"geometry": "8b", "B": B, "cache_len": 4096, "kv": kv,
+                         "error": type(e).__name__})
+            print(f"8b B={B} kv={kv}: FAIL {type(e).__name__}", flush=True)
+            continue
+        rows.append({"geometry": "8b", "B": B, "cache_len": 4096, "kv": kv,
+                     "int8_tok_s": round(tps, 1)})
+        print(f"8b B={B} kv={kv}: {tps:7.1f} tok/s", flush=True)
 
     out_path = Path(args.out)
     out_path.parent.mkdir(parents=True, exist_ok=True)
