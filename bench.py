@@ -64,7 +64,7 @@ def build_8b_qlora():
         embed_dim=4096, num_layers=32, head_dim=128, num_heads=32, num_kv_heads=8,
         intermediate_dim=14336, max_seq_len=4096, vocab_size=128_256,
         rope_base=500_000.0, is_llama3_1=True,
-        activation_checkpointing=True, remat_policy="flash_qkv",
+        activation_checkpointing=True, remat_policy="flash_proj",
         fused_ce_chunks=8, attn_impl="auto", dynamic_int8_act=True,
         dynamic_int8_bwd=INT8_BWD,
     )
@@ -170,7 +170,7 @@ def bench_8b():
                 "trainable_params": int(n_lora),
                 "frozen_params": int(n_frozen),
                 "model": "Llama-3.1-8B geometry, int8 base (dynamic-act Pallas GEMM) + LoRA, "
-                "40s-audio prefix-LM, flash_qkv remat, fused CE, seq 4096, bf16",
+                "40s-audio prefix-LM, flash_proj remat, fused CE, seq 4096, bf16",
             }
         ),
         flush=True,

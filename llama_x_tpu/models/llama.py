@@ -288,15 +288,23 @@ def attention(
         )
 
     out = out.reshape(B, S, c.num_heads * c.head_dim)
-    return apply_linear(out, p["wo"], dynamic_int8_act=c.dynamic_int8_act, dynamic_int8_bwd=c.dynamic_int8_bwd), new_cache
+    out = checkpoint_name(
+        apply_linear(out, p["wo"], dynamic_int8_act=c.dynamic_int8_act, dynamic_int8_bwd=c.dynamic_int8_bwd),
+        "o_proj",
+    )
+    return out, new_cache
 
 
 def feed_forward(p: Params, config: LlamaConfig, x: jnp.ndarray) -> jnp.ndarray:
     """SwiGLU: w2(silu(w1 x) * w3 x) (≡ modelling/llama.py:143-152)."""
+    from jax.ad_checkpoint import checkpoint_name
+
     d, db = config.dynamic_int8_act, config.dynamic_int8_bwd
     h = jax.nn.silu(apply_linear(x, p["w1"], dynamic_int8_act=d, dynamic_int8_bwd=db)) * apply_linear(
         x, p["w3"], dynamic_int8_act=d, dynamic_int8_bwd=db)
-    return apply_linear(h, p["w2"], dynamic_int8_act=d, dynamic_int8_bwd=db)
+    # named for the "flash_proj" remat policy: w2's output is D-wide (32 MB/layer at
+    # 8B) while skipping its recompute saves the single largest GEMM in the block
+    return checkpoint_name(apply_linear(h, p["w2"], dynamic_int8_act=d, dynamic_int8_bwd=db), "mlp_out")
 
 
 def block(
@@ -337,6 +345,14 @@ def remat_policy(config: LlamaConfig):
         # 32 layers): the backward skips recomputing the three projection int8 GEMMs
         # AND their RoPE. Between "flash" (min memory) and "dots_flash" (OOM at 8B).
         return jax.checkpoint_policies.save_only_these_names("flash_residuals", "qkv_proj")
+    if config.remat_policy == "flash_proj":
+        # additionally save the wo and w2 outputs (each D-wide, +2 GB at 8B): with a
+        # frozen base there are no weight grads, so these saves prune the recompute
+        # of every D-out GEMM in the block — only w1/w3 re-run (their outputs feed
+        # the SwiGLU derivative and are F-wide, 7.5 GB: too big to save)
+        return jax.checkpoint_policies.save_only_these_names(
+            "flash_residuals", "qkv_proj", "o_proj", "mlp_out"
+        )
     return None
 
 

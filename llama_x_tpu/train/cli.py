@@ -58,7 +58,7 @@ def add_common_args(parser: argparse.ArgumentParser):
         help="GPipe microbatches per step when the mesh has a pp axis (0 = pp size)",
     )
     parser.add_argument("--attn_impl", default="auto", choices=["auto", "xla", "flash", "ring", "ulysses"])
-    parser.add_argument("--remat_policy", default="full", choices=["full", "dots", "dots_flash", "flash", "flash_qkv"])
+    parser.add_argument("--remat_policy", default="full", choices=["full", "dots", "dots_flash", "flash", "flash_qkv", "flash_proj"])
     parser.add_argument("--fused_ce_chunks", type=int, default=0)
     parser.add_argument(
         "--synthetic", type=int, default=0,

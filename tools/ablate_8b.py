@@ -1,7 +1,7 @@
 """8B bench knob ablation: step time under remat-policy / CE-chunk variants.
 
 Runs the exact bench.py 8B QLoRA prefix-LM step with one knob changed at a time and
-prints a table — the evidence behind the defaults (remat_policy="flash_qkv",
+prints a table — the evidence behind the defaults (remat_policy="flash_proj",
 fused_ce_chunks=8). Variants that OOM are reported as such (that is the datum:
 e.g. "dots_flash" does not fit 8B at S=4096 on 16 GB).
 
@@ -14,8 +14,9 @@ Measured (v5e, 2026-08-17, post GEMM retune):
 
 Re-measured with int8 dgrads (dynamic_int8_bwd, same day): same ordering —
     baseline 971.4 | ce_chunks=4 967.6 (tie) | ce_chunks=16 992.0 | dots_flash FAIL
-    remat=flash_qkv 954.8 (saves q/k/v projection outputs, ~1.5 GB; now the bench
-    default — headline 952 ms / 70.6% MFU)
+    remat=flash_qkv 954.8 (saves q/k/v projection outputs, ~1.5 GB)
+    remat=flash_proj 947.7 (qkv + wo + w2 outputs, ~3.5 GB; now the bench default —
+    headline 946 ms / 71.1% MFU)
 
 usage: PYTHONPATH=/root/.axon_site:/root/repo python tools/ablate_8b.py
 """
@@ -71,6 +72,7 @@ VARIANTS = [
     ("ce_chunks=16", {"fused_ce_chunks": 16}),
     ("remat=dots_flash", {"remat_policy": "dots_flash"}),
     ("remat=flash_qkv", {"remat_policy": "flash_qkv"}),
+    ("remat=flash_proj", {"remat_policy": "flash_proj"}),
 ]
 
 

@@ -108,7 +108,7 @@ def main():
         "frozen_params": int(n_frozen),
         "seq_layout": {"audio_tokens": n_audio_tok, "image_tokens": n_image_tok, "text_tokens": text_len},
         "model": "Llama-3.1-8B geometry, int8 base (dynamic-act Pallas GEMM) + LoRA, "
-        "30s audio + 224px image prefix-LM, flash_qkv remat, fused CE, seq 4096, bf16",
+        "30s audio + 224px image prefix-LM, flash_proj remat, fused CE, seq 4096, bf16",
     }
     out_dir = Path("runs/bench_omni")
     out_dir.mkdir(parents=True, exist_ok=True)
