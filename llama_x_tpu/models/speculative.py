@@ -24,6 +24,11 @@ speculative sampling agree on what "the target distribution" is.
 Cache rollback is free with static full-length caches: rejected positions' K/V stay
 in the buffer but ``kv_len`` masking hides them, and the next round overwrites them.
 
+``cache_dtype=int8`` works here too, but the multi-query verify pass (Sq = gamma+1)
+and the draft pair step (Sq = 2) take the XLA fallback, which dequantizes the cache
+side per layer — the int8 decode kernel's bandwidth win applies only to the Sq=1
+steps, so quantize the cache for capacity, not speed, when drafting.
+
 The reference has no sampling loop at all (SURVEY.md §3); this is the TPU-native
 serving-latency design on top of models/generate.py's prefill+scan machinery.
 B=1 (the latency-critical case): per-row acceptance counts would desynchronize
@@ -39,12 +44,13 @@ import jax
 import jax.numpy as jnp
 
 from llama_x_tpu.models import llama
-from llama_x_tpu.models.generate import filter_logits
+from llama_x_tpu.models.generate import filter_logits, sample_logits
 from llama_x_tpu.ops.attention import MaskInfo
 
 
 def _prefill(params, config, prompt, cache_dtype):
-    """Run the prompt through the trunk once, filling the cache. -> (cache, last_h, pos)."""
+    """Run the prompt through the trunk once, filling the cache.
+    -> (cache, last-position logits [1, V], pos)."""
     kv_cache = llama.init_kv_cache(config, 1, dtype=cache_dtype)
     x = jnp.take(params["tok_embeddings"]["weight"], prompt, axis=0)
     P = prompt.shape[1]
@@ -192,11 +198,7 @@ def generate_speculative(
 
     t_cache, first_logits, t_pos = _prefill(params, config, prompt, cache_dtype)
     d_cache, _, d_pos = _prefill(draft_params, draft_config, prompt, cache_dtype)
-    if temperature == 0.0:
-        first = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)
-    else:
-        f = filter_logits(first_logits, temperature, top_k, top_p)
-        first = jnp.argmax(f + jax.random.gumbel(first_key, f.shape, jnp.float32), axis=-1).astype(jnp.int32)
+    first = sample_logits(first_key, first_logits, temperature, top_k, top_p)
 
     buf = jnp.full((max_new_tokens + gamma + 1,), pad_id, jnp.int32)
     buf = buf.at[0].set(first[0])

@@ -41,7 +41,22 @@ _LANES = 128
 INTERPRET = False
 
 
-def _kernel(lens_ref, q_ref, k_ref, v_ref, out_ref, acc_ref, m_ref, l_ref, *, scale, bk, group):
+def _kernel(lens_ref, *refs, scale, bk, group, quantized):
+    """Online-softmax decode body, shared by the bf16 and int8-cache paths.
+
+    ``quantized``: K/V tiles arrive as int8 [bk, D] plus per-row f32 scales [bk, 1];
+    dequant happens in VMEM (the HBM read is half the bf16 path's — the entire win).
+    ``k_i8 * k_s`` is a sublane-aligned [bk, 1] broadcast along lanes, the layout
+    Mosaic handles natively (folding the scale into the [group, bk] score vector
+    would need a sublane->lane relayout instead). Dequantized tiles are bf16, so
+    scores carry exactly the bf16-cache path's rounding plus the int8 quantization
+    error. ONE body for both paths on purpose: the masking (kv_pos < len_b), the
+    clamp-to-last-block DMA skip, and the l==0 epilogue guard must mirror the
+    ops/attention.py oracle, and a second copy would be a drift surface."""
+    if quantized:
+        q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref, acc_ref, m_ref, l_ref = refs
+    else:
+        q_ref, k_ref, v_ref, out_ref, acc_ref, m_ref, l_ref = refs
     b = pl.program_id(0)
     j = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -57,6 +72,10 @@ def _kernel(lens_ref, q_ref, k_ref, v_ref, out_ref, acc_ref, m_ref, l_ref, *, sc
     def _compute():
         q = q_ref[0, 0, 0]  # [group, D]
         k = k_ref[0, 0]  # [bk, D]
+        v = v_ref[0, 0]
+        if quantized:
+            k = k.astype(q.dtype) * ks_ref[0, 0].astype(q.dtype)
+            v = v.astype(q.dtype) * vs_ref[0, 0].astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -70,8 +89,8 @@ def _kernel(lens_ref, q_ref, k_ref, v_ref, out_ref, acc_ref, m_ref, l_ref, *, sc
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         pv = jax.lax.dot_general(
-            p.astype(v_ref.dtype),
-            v_ref[0, 0],
+            p.astype(v.dtype),
+            v,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -83,54 +102,56 @@ def _kernel(lens_ref, q_ref, k_ref, v_ref, out_ref, acc_ref, m_ref, l_ref, *, sc
         out_ref[0, 0, 0] = (acc_ref[:] / jnp.where(l == 0.0, 1.0, l)).astype(out_ref.dtype)
 
 
-def _kernel_i8(
-    lens_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref, acc_ref, m_ref, l_ref, *, scale, bk, group
-):
-    """int8-cache variant: K/V tiles arrive as int8 [bk, D] + per-row scales [bk, 1].
-    Dequant happens in VMEM (the HBM read is half the bf16 kernel's — the entire win):
-    ``k_i8 * k_s`` is a sublane-aligned [bk, 1] broadcast along lanes, the layout
-    Mosaic handles natively (folding the scale into the [group, bk] score vector would
-    need a sublane->lane relayout instead). Dequantized tiles are bf16, so scores
-    carry exactly the bf16-cache kernel's rounding plus the int8 quantization error."""
-    b = pl.program_id(0)
-    j = pl.program_id(2)
-    nk = pl.num_programs(2)
-    len_b = lens_ref[b]
+def _decode_call(q, kv_args, kv_len, scale, block_kv, quantized):
+    """Shared wrapper: grid/spec construction for both cache dtypes.
+    kv_args: (k, v) bf16, or (k_i8, k_scale[..., 1], v_i8, v_scale[..., 1]) int8."""
+    B, Sq, Hq, D = q.shape
+    Hkv, S_max = kv_args[0].shape[1], kv_args[0].shape[2]
+    assert Sq == 1
+    group = Hq // Hkv
+    bk = _pick_bk(S_max, block_kv)
+    nk = S_max // bk
 
-    @pl.when(j == 0)
-    def _init():
-        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+    q5 = q.reshape(B, 1, Hkv, group, D)
+    lens = jnp.broadcast_to(kv_len.astype(jnp.int32).reshape(-1), (B,))
 
-    @pl.when(j * bk < len_b)
-    def _compute():
-        q = q_ref[0, 0, 0]  # [group, D]
-        k = k_ref[0, 0].astype(q.dtype) * ks_ref[0, 0].astype(q.dtype)  # [bk, D] dequant
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        s *= scale
-        kv_pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (group, bk), 1)
-        s = jnp.where(kv_pos < len_b, s, _NEG_INF)
-        m_prev = m_ref[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
-        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-        pv = jax.lax.dot_general(
-            p.astype(q.dtype),
-            v_ref[0, 0].astype(q.dtype) * vs_ref[0, 0].astype(q.dtype),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_ref[:] = acc_ref[:] * alpha + pv
+    def kv_map(b, h, j, lens_ref):
+        # clamp dead blocks to the last valid one: consecutive identical block indices
+        # skip the DMA, so blocks past kv_len are fetched zero times (after the clamp
+        # target itself) — this is what makes decode O(kv_len) HBM traffic
+        last = jnp.maximum(pl.cdiv(lens_ref[b], bk) - 1, 0)
+        return (b, h, jnp.minimum(j, last), 0)
 
-    @pl.when(j == nk - 1)
-    def _epilogue():
-        l = l_ref[:, :1]
-        out_ref[0, 0, 0] = (acc_ref[:] / jnp.where(l == 0.0, 1.0, l)).astype(out_ref.dtype)
+    data_spec = pl.BlockSpec((1, 1, bk, D), kv_map)
+    # scales ride as [B, Hkv, S, 1] so the (bk, 1) tile satisfies the TPU block rule
+    # (last dim == array dim) and broadcasts along lanes in-kernel
+    scale_spec = pl.BlockSpec((1, 1, bk, 1), kv_map)
+    kv_specs = [data_spec, scale_spec, data_spec, scale_spec] if quantized else [data_spec, data_spec]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Hkv, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, group, D), lambda b, h, j, lens_ref: (b, 0, h, 0, 0)),
+            *kv_specs,
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, group, D), lambda b, h, j, lens_ref: (b, 0, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((group, D), jnp.float32),
+            pltpu.VMEM((group, _LANES), jnp.float32),
+            pltpu.VMEM((group, _LANES), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale, bk=bk, group=group, quantized=quantized),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 1, Hkv, group, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=INTERPRET,
+    )(lens, q5, *kv_args)
+    return out.reshape(B, 1, Hq, D)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_kv"))
@@ -147,53 +168,11 @@ def decode_attention_int8(
     """decode_attention over an int8-quantized cache (models/llama.py init_kv_cache
     with dtype=int8): k_i8/v_i8 [B, Hkv, S_max, D] int8, k_scale/v_scale
     [B, Hkv, S_max] f32 rowwise dequant scales. Same contract otherwise."""
-    B, Sq, Hq, D = q.shape
-    _, Hkv, S_max, _ = k_i8.shape
-    assert Sq == 1
-    group = Hq // Hkv
-    bk = _pick_bk(S_max, block_kv)
-    nk = S_max // bk
-
-    q5 = q.reshape(B, 1, Hkv, group, D)
-    lens = jnp.broadcast_to(kv_len.astype(jnp.int32).reshape(-1), (B,))
-
-    def kv_map(b, h, j, lens_ref):
-        last = jnp.maximum(pl.cdiv(lens_ref[b], bk) - 1, 0)
-        return (b, h, jnp.minimum(j, last), 0)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B, Hkv, nk),
-        in_specs=[
-            pl.BlockSpec((1, 1, 1, group, D), lambda b, h, j, lens_ref: (b, 0, h, 0, 0)),
-            pl.BlockSpec((1, 1, bk, D), kv_map),
-            # scales ride as [B, Hkv, S, 1] so the (bk, 1) tile satisfies the TPU
-            # block rule (last dim == array dim) and broadcasts along lanes in-kernel
-            pl.BlockSpec((1, 1, bk, 1), kv_map),
-            pl.BlockSpec((1, 1, bk, D), kv_map),
-            pl.BlockSpec((1, 1, bk, 1), kv_map),
-        ],
-        out_specs=pl.BlockSpec((1, 1, 1, group, D), lambda b, h, j, lens_ref: (b, 0, h, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((group, D), jnp.float32),
-            pltpu.VMEM((group, _LANES), jnp.float32),
-            pltpu.VMEM((group, _LANES), jnp.float32),
-        ],
-    )
-    out = pl.pallas_call(
-        functools.partial(_kernel_i8, scale=scale, bk=bk, group=group),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, 1, Hkv, group, D), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        interpret=INTERPRET,
-    )(
-        lens, q5,
+    kv_args = (
         k_i8, k_scale.astype(jnp.float32)[..., None],
         v_i8, v_scale.astype(jnp.float32)[..., None],
     )
-    return out.reshape(B, 1, Hq, D)
+    return _decode_call(q, kv_args, kv_len, scale, block_kv, quantized=True)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_kv"))
@@ -214,48 +193,7 @@ def decode_attention(
     Caller guarantees: S_max block-divisible, D % 128 == 0, Hq % Hkv == 0 (see
     decode_supported).
     """
-    B, Sq, Hq, D = q.shape
-    _, Hkv, S_max, _ = k_cache.shape
-    assert Sq == 1
-    group = Hq // Hkv
-    bk = _pick_bk(S_max, block_kv)
-    nk = S_max // bk
-
-    q5 = q.reshape(B, 1, Hkv, group, D)
-    lens = jnp.broadcast_to(kv_len.astype(jnp.int32).reshape(-1), (B,))
-
-    def kv_map(b, h, j, lens_ref):
-        # clamp dead blocks to the last valid one: consecutive identical block indices
-        # skip the DMA, so blocks past kv_len are fetched zero times (after the clamp
-        # target itself) — this is what makes decode O(kv_len) HBM traffic
-        last = jnp.maximum(pl.cdiv(lens_ref[b], bk) - 1, 0)
-        return (b, h, jnp.minimum(j, last), 0)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B, Hkv, nk),
-        in_specs=[
-            pl.BlockSpec((1, 1, 1, group, D), lambda b, h, j, lens_ref: (b, 0, h, 0, 0)),
-            pl.BlockSpec((1, 1, bk, D), kv_map),
-            pl.BlockSpec((1, 1, bk, D), kv_map),
-        ],
-        out_specs=pl.BlockSpec((1, 1, 1, group, D), lambda b, h, j, lens_ref: (b, 0, h, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((group, D), jnp.float32),
-            pltpu.VMEM((group, _LANES), jnp.float32),
-            pltpu.VMEM((group, _LANES), jnp.float32),
-        ],
-    )
-    out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, bk=bk, group=group),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, 1, Hkv, group, D), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        interpret=INTERPRET,
-    )(lens, q5, k_cache, v_cache)
-    return out.reshape(B, 1, Hq, D)
+    return _decode_call(q, (k_cache, v_cache), kv_len, scale, block_kv, quantized=False)
 
 
 def _pick_bk(s: int, target: int) -> int | None:

@@ -46,7 +46,9 @@ def main():
                         help="cap the KV cache (0: model config; smaller = less HBM)")
     parser.add_argument("--no_eos", action="store_true", help="ignore eos, always emit max_new_tokens")
     parser.add_argument("--kv_dtype", default="bf16", choices=["bf16", "int8"],
-                        help="KV cache dtype: int8 halves cache HBM traffic + residency")
+                        help="KV cache dtype: int8 halves cache HBM traffic + residency on the "
+                             "single-token decode path; combined with --draft_model the "
+                             "multi-query verify steps dequantize via XLA (no kernel win)")
     parser.add_argument("--template", choices=["alpaca"],
                         help="wrap each prompt in the training prompt template "
                              "(alpaca = the MetaMathQA SFT format, data/metamathqa.py)")
@@ -122,6 +124,10 @@ def main():
         cache_dtype = jnp.int8 if args.kv_dtype == "int8" else jnp.bfloat16
         if draft is not None:
             n_new = min(n_new, config.max_seq_len - len(ids) - args.gamma - 1)
+            assert n_new > 0, (
+                f"prompt ({len(ids)} tokens) + speculative reserve (gamma+1 = "
+                f"{args.gamma + 1}) exceeds the {config.max_seq_len} cache"
+            )
             out, stats = generate_speculative(
                 params, config, draft[0], draft[1], jnp.asarray([ids], jnp.int32),
                 max_new_tokens=n_new, gamma=args.gamma, key=sub,
