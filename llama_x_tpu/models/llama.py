@@ -200,21 +200,33 @@ def attention(
         k_cache, v_cache = cache  # [B, n_kv, max_seq_len, hd] (contiguous per-head rows)
         assert input_pos is not None
         quantized_cache = isinstance(k_cache, tuple)  # int8 side: (data, rowwise scale)
+        # input_pos [S]: all rows at the same depth (plain decode/prefill). [B, S]:
+        # per-row depths (batched speculative — rows desynchronize as acceptance
+        # varies); the write becomes a per-row scatter (vmapped dynamic_update_slice).
+        per_row = input_pos.ndim == 2
+
+        def put(buf, fresh, trailing_dims):
+            if per_row:
+                starts = input_pos[:, 0]
+                zeros = (0,) * trailing_dims
+                return jax.vmap(
+                    lambda c, f, s: jax.lax.dynamic_update_slice(c, f, (0, s, *zeros))
+                )(buf, fresh, starts)
+            return jax.lax.dynamic_update_slice(
+                buf, fresh, (0, 0, input_pos[0]) + (0,) * trailing_dims
+            )
+
         if quantized_cache:
 
             def update(side, fresh):
                 data, scale = side
                 f_i8, f_s = quantize_kv_rows(fresh.transpose(0, 2, 1, 3))
-                data = jax.lax.dynamic_update_slice(data, f_i8, (0, 0, input_pos[0], 0))
-                scale = jax.lax.dynamic_update_slice(scale, f_s, (0, 0, input_pos[0]))
-                return data, scale
+                return put(data, f_i8, 1), put(scale, f_s, 0)
 
         else:
 
             def update(side, fresh):
-                return jax.lax.dynamic_update_slice(
-                    side, fresh.transpose(0, 2, 1, 3).astype(side.dtype), (0, 0, input_pos[0], 0)
-                )
+                return put(side, fresh.transpose(0, 2, 1, 3).astype(side.dtype), 1)
 
         k_cache = update(k_cache, k)
         v_cache = update(v_cache, v)

@@ -31,8 +31,10 @@ steps, so quantize the cache for capacity, not speed, when drafting.
 
 The reference has no sampling loop at all (SURVEY.md §3); this is the TPU-native
 serving-latency design on top of models/generate.py's prefill+scan machinery.
-B=1 (the latency-critical case): per-row acceptance counts would desynchronize
-row positions, so batching needs per-row cache scatter — out of scope here.
+Batched (B >= 1): per-row acceptance desynchronizes row depths, so positions are
+per-row arrays — the cache write becomes a vmapped scatter (models/llama.py
+``put``) and RoPE gathers a per-row table (ops/rope.py); rows finished by count
+or eos freeze (m = 0) while the rest keep decoding.
 """
 
 from __future__ import annotations
@@ -51,7 +53,7 @@ from llama_x_tpu.ops.attention import MaskInfo
 def _prefill(params, config, prompt, cache_dtype):
     """Run the prompt through the trunk once, filling the cache.
     -> (cache, last-position logits [1, V], pos)."""
-    kv_cache = llama.init_kv_cache(config, 1, dtype=cache_dtype)
+    kv_cache = llama.init_kv_cache(config, prompt.shape[0], dtype=cache_dtype)
     x = jnp.take(params["tok_embeddings"]["weight"], prompt, axis=0)
     P = prompt.shape[1]
     pos = jnp.arange(P, dtype=jnp.int32)
@@ -61,19 +63,20 @@ def _prefill(params, config, prompt, cache_dtype):
 
 
 def _draft_propose(params, config, cache, prev, cur, pos, gamma, key, temperature, top_k, top_p):
-    """gamma draft steps. -> (cache, drafts [gamma], q_probs [gamma, V]).
+    """gamma draft steps. prev/cur/pos [B]. -> (cache, drafts [B, gamma],
+    q_probs [B, gamma, V]).
 
-    The FIRST step feeds [prev, cur] (two tokens, positions pos-1 and pos): after a
-    full-accept round the draft cache has a one-slot hole at pos-1 — the last draft
-    token was sampled from step-gamma logits but never processed, yet the round also
-    emitted the bonus token after it. Reprocessing prev fills the hole; in non-hole
-    rounds it recomputes an identical KV row (same token, same position, same cached
-    prefix), which is harmless.
+    The FIRST step feeds [prev, cur] (two tokens, per-row positions pos-1 and pos):
+    after a full-accept round the draft cache has a one-slot hole at pos-1 — the last
+    draft token was sampled from step-gamma logits but never processed, yet the round
+    also emitted the bonus token after it. Reprocessing prev fills the hole; in
+    non-hole rounds it recomputes an identical KV row (same token, same position,
+    same cached prefix), which is harmless.
 
     Greedy: argmax drafts, q_probs is a placeholder (never read).
     Sampled: drafts ~ q_i = softmax(filter_logits(logits)); q_probs are those rows."""
 
-    def sample(logits, step_key):  # logits [1, V]
+    def sample(logits, step_key):  # logits [B, V]
         if temperature == 0.0:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32), jnp.zeros_like(logits, jnp.float32)
         f = filter_logits(logits, temperature, top_k, top_p)
@@ -83,38 +86,39 @@ def _draft_propose(params, config, cache, prev, cur, pos, gamma, key, temperatur
     keys = jax.random.split(key, gamma)
 
     # step 1: [prev, cur] pair (fills the potential hole at pos-1)
-    pair = jnp.concatenate([prev, cur])[None, :]  # [1, 2]
+    pair = jnp.stack([prev, cur], axis=1)  # [B, 2]
     x = jnp.take(params["tok_embeddings"]["weight"], pair, axis=0)
-    ppos = pos + jnp.arange(-1, 1, dtype=jnp.int32)
-    mask = MaskInfo(causal=True, q_positions=ppos[None, :], kv_len=(pos + 1)[None])
+    ppos = pos[:, None] + jnp.arange(-1, 1, dtype=jnp.int32)[None, :]  # [B, 2]
+    mask = MaskInfo(causal=True, q_positions=ppos, kv_len=pos + 1)
     h, cache = llama.trunk(params, config, x, mask, cache, input_pos=ppos)
     first_tok, first_q = sample(llama.head(params, config, h[:, -1:, :])[:, 0], keys[0])
 
     def step(carry, step_key):
         cache, tok, p = carry
         x = jnp.take(params["tok_embeddings"]["weight"], tok[:, None], axis=0)
-        mask = MaskInfo(causal=True, q_positions=p[None, None], kv_len=p[None] + 1)
-        h, cache = llama.trunk(params, config, x, mask, cache, input_pos=p[None])
+        mask = MaskInfo(causal=True, q_positions=p[:, None], kv_len=p + 1)
+        h, cache = llama.trunk(params, config, x, mask, cache, input_pos=p[:, None])
         nxt, q_row = sample(llama.head(params, config, h)[:, 0], step_key)
-        return (cache, nxt, p + 1), (nxt[0], q_row[0])
+        return (cache, nxt, p + 1), (nxt, q_row)
 
     (cache, _, _), (rest, rest_q) = jax.lax.scan(step, (cache, first_tok, pos + 1), keys[1:])
-    drafts = jnp.concatenate([first_tok, rest])
-    q_probs = jnp.concatenate([first_q, rest_q], axis=0)
+    drafts = jnp.concatenate([first_tok[None], rest], axis=0).transpose(1, 0)  # [B, gamma]
+    q_probs = jnp.concatenate([first_q[None], rest_q], axis=0).transpose(1, 0, 2)  # [B, gamma, V]
     return cache, drafts, q_probs
 
 
 def _target_verify(params, config, cache, cur, drafts, pos, gamma):
-    """One target pass over [cur, d_1..d_gamma] at positions pos..pos+gamma.
-    -> (cache, logits [gamma+1, V]) where logits[i] scores the token AFTER input i
-    (so logits[gamma] is the bonus position following a fully-accepted draft)."""
-    inputs = jnp.concatenate([cur, drafts])[None, :]  # [1, gamma+1]
+    """One target pass over [cur, d_1..d_gamma] at per-row positions pos..pos+gamma.
+    cur/pos [B], drafts [B, gamma]. -> (cache, logits [B, gamma+1, V]) where
+    logits[:, i] scores the token AFTER input i (logits[:, gamma] is the bonus
+    position following a fully-accepted draft)."""
+    inputs = jnp.concatenate([cur[:, None], drafts], axis=1)  # [B, gamma+1]
     x = jnp.take(params["tok_embeddings"]["weight"], inputs, axis=0)
-    qpos = pos + jnp.arange(gamma + 1, dtype=jnp.int32)
-    mask = MaskInfo(causal=True, q_positions=qpos[None, :], kv_len=(pos + gamma + 1)[None])
+    qpos = pos[:, None] + jnp.arange(gamma + 1, dtype=jnp.int32)[None, :]  # [B, gamma+1]
+    mask = MaskInfo(causal=True, q_positions=qpos, kv_len=pos + gamma + 1)
     h, cache = llama.trunk(params, config, x, mask, cache, input_pos=qpos)
-    logits = llama.head(params, config, h)  # [1, gamma+1, V]
-    return cache, logits[0]
+    logits = llama.head(params, config, h)  # [B, gamma+1, V]
+    return cache, logits
 
 
 def speculative_accept(key, drafts, q_probs, p_probs):
@@ -171,7 +175,7 @@ def generate_speculative(
     pad_id: int = 0,
     cache_dtype=jnp.bfloat16,
 ):
-    """prompt [1, P] int32 → (tokens [1, max_new_tokens], stats).
+    """prompt [B, P] int32 (all rows full length) → (tokens [B, max_new_tokens], stats).
 
     temperature == 0: greedy — the output is the target's own greedy trajectory,
     exactly ``generate(..., temperature=0)`` in the f32 CPU tests. (On TPU bf16 a
@@ -183,33 +187,38 @@ def generate_speculative(
     temperature > 0: speculative rejection sampling — emitted tokens are distributed
     exactly as target-only ancestral sampling with the same temperature/top_k/top_p.
 
+    Rows accept at different rates, so positions are per-row; rows that finish (by
+    count or eos) freeze while the rest keep decoding — the compiled shape is static.
+
     ``draft_config`` must share the vocab (same tokenizer).
-    stats = {"target_passes": int32, "tokens_emitted": int32} — tokens / target_passes
-    is the measured per-pass acceptance (upper-bounded by gamma + 1: a full accept
-    also emits the bonus token sampled at the verify pass's last position).
+    stats = {"target_passes": int32, "tokens_emitted": int32 [B]} — mean(tokens /
+    B / target_passes) is the measured per-pass acceptance (upper-bounded by
+    gamma + 1: a full accept also emits the bonus token sampled at the verify pass's
+    last position).
     """
-    assert prompt.shape[0] == 1, "speculative decode is B=1 (see module docstring)"
-    P = prompt.shape[1]
+    B, P = prompt.shape
     assert P + max_new_tokens + gamma + 1 <= config.max_seq_len
     assert P + max_new_tokens + gamma <= draft_config.max_seq_len
     if key is None:
         key = jax.random.PRNGKey(0)
     key, first_key = jax.random.split(key)
 
-    t_cache, first_logits, t_pos = _prefill(params, config, prompt, cache_dtype)
-    d_cache, _, d_pos = _prefill(draft_params, draft_config, prompt, cache_dtype)
-    first = sample_logits(first_key, first_logits, temperature, top_k, top_p)
+    t_cache, first_logits, _ = _prefill(params, config, prompt, cache_dtype)
+    d_cache, _, _ = _prefill(draft_params, draft_config, prompt, cache_dtype)
+    first = sample_logits(first_key, first_logits, temperature, top_k, top_p)  # [B]
+    t_pos = jnp.full((B,), P, jnp.int32)
+    d_pos = jnp.full((B,), P, jnp.int32)
 
-    buf = jnp.full((max_new_tokens + gamma + 1,), pad_id, jnp.int32)
-    buf = buf.at[0].set(first[0])
-    prev0 = prompt[0, -1:]  # the token before `first` in the sequence
+    buf = jnp.full((B, max_new_tokens + gamma + 1), pad_id, jnp.int32)
+    buf = buf.at[:, 0].set(first)
+    prev0 = prompt[:, -1]  # the token before `first` in each row
     # carry: (t_cache, d_cache, prev, cur, t_pos, d_pos, buf, n_out, done, rounds, key)
-    init = (t_cache, d_cache, prev0, first, t_pos, d_pos, buf, jnp.asarray(1, jnp.int32),
-            first[0] == eos_id, jnp.asarray(0, jnp.int32), key)
+    init = (t_cache, d_cache, prev0, first, t_pos, d_pos, buf,
+            jnp.ones((B,), jnp.int32), first == eos_id, jnp.asarray(0, jnp.int32), key)
 
     def cond(carry):
         *_, n_out, done, _, _ = carry
-        return (n_out < max_new_tokens) & ~done
+        return jnp.any((n_out < max_new_tokens) & ~done)
 
     def body(carry):
         t_cache, d_cache, prev, cur, t_pos, d_pos, buf, n_out, done, rounds, key = carry
@@ -220,40 +229,54 @@ def generate_speculative(
         t_cache, t_logits = _target_verify(params, config, t_cache, cur, drafts, t_pos, gamma)
 
         if temperature == 0.0:
-            targets = jnp.argmax(t_logits, axis=-1).astype(jnp.int32)  # [gamma+1]
-            match = drafts == targets[:gamma]
-            a = jnp.argmin(jnp.concatenate([match, jnp.asarray([False])]).astype(jnp.int32))
-            # emit a accepted drafts (== targets[:a]) + the correction-or-bonus
-            # targets[a]: every emitted token is the target's own greedy choice
+            targets = jnp.argmax(t_logits, axis=-1).astype(jnp.int32)  # [B, gamma+1]
+            match = drafts == targets[:, :gamma]
+            a = jnp.argmin(
+                jnp.concatenate([match, jnp.zeros((B, 1), bool)], axis=1).astype(jnp.int32), axis=1
+            )
+            # emit a accepted drafts (== targets[:, :a]) + the correction-or-bonus
+            # targets[:, a]: every emitted token is the target's own greedy choice
             emitted, m = targets, a + 1
         else:
             p_probs = jax.nn.softmax(filter_logits(t_logits, temperature, top_k, top_p), axis=-1)
-            emitted, m = speculative_accept(a_key, drafts, q_probs, p_probs)
+            emitted, m = jax.vmap(speculative_accept)(
+                jax.random.split(a_key, B), drafts, q_probs, p_probs
+            )
 
-        idx = jnp.arange(gamma + 1)
-        emitted = jnp.where(idx < m, emitted, pad_id)
-        hit_eos = jnp.any((emitted == eos_id) & (idx < m)) if eos_id >= 0 else jnp.asarray(False)
-        # stop emitting at eos within the round
-        eos_cut = jnp.argmax((emitted == eos_id) & (idx < m)) if eos_id >= 0 else gamma + 1
-        m = jnp.where(hit_eos, jnp.minimum(m, eos_cut + 1), m)
-        emitted = jnp.where(idx < m, emitted, pad_id)
+        # rows finished by count or eos freeze: emit nothing, positions stay put
+        active = (n_out < max_new_tokens) & ~done
+        m = jnp.where(active, m, 0)
+        idx = jnp.arange(gamma + 1)[None, :]
+        emitted = jnp.where(idx < m[:, None], emitted, pad_id)
+        if eos_id >= 0:
+            live = (emitted == eos_id) & (idx < m[:, None])
+            hit_eos = jnp.any(live, axis=1)
+            # stop emitting at eos within the round
+            eos_cut = jnp.argmax(live, axis=1)
+            m = jnp.where(hit_eos, jnp.minimum(m, eos_cut + 1), m)
+            emitted = jnp.where(idx < m[:, None], emitted, pad_id)
+        else:
+            hit_eos = jnp.zeros((B,), bool)
 
-        buf = jax.lax.dynamic_update_slice(buf, emitted, (n_out,))
+        buf = jax.vmap(lambda row, e, s: jax.lax.dynamic_update_slice(row, e, (s,)))(
+            buf, emitted, n_out
+        )
         # the new (prev, cur) are the last two sequence tokens: padded[m-1], padded[m]
-        padded = jnp.concatenate([cur, emitted])
-        prev = jax.lax.dynamic_slice(padded, (m - 1,), (1,))
-        cur = jax.lax.dynamic_slice(padded, (m,), (1,))
+        # (frozen rows: m=0 -> both stay cur, positions unchanged)
+        padded = jnp.concatenate([cur[:, None], emitted], axis=1)  # [B, gamma+2]
+        prev = jnp.take_along_axis(padded, jnp.maximum(m - 1, 0)[:, None], axis=1)[:, 0]
+        cur = jnp.take_along_axis(padded, m[:, None], axis=1)[:, 0]
         return (t_cache, d_cache, prev, cur, t_pos + m, d_pos + m, buf, n_out + m,
                 done | hit_eos, rounds + 1, key)
 
     *_, buf, n_out, done, rounds, _ = jax.lax.while_loop(cond, body, init)
 
-    out = buf[:max_new_tokens][None, :]
+    out = buf[:, :max_new_tokens]
     # pad everything past the first eos (and past n_out, for eos-terminated runs)
     idx = jnp.arange(max_new_tokens)[None, :]
     if eos_id >= 0:
         seen_eos = jnp.cumsum((out == eos_id).astype(jnp.int32), axis=-1)
         after_eos = (seen_eos - (out == eos_id).astype(jnp.int32)) > 0
         out = jnp.where(after_eos, pad_id, out)
-    out = jnp.where(idx >= n_out, pad_id, out)
+    out = jnp.where(idx >= n_out[:, None], pad_id, out)
     return out, {"target_passes": rounds + 1, "tokens_emitted": jnp.minimum(n_out, max_new_tokens)}

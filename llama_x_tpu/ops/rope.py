@@ -77,9 +77,14 @@ def apply_rope(x: jnp.ndarray, rope: jnp.ndarray, positions: jnp.ndarray | None 
     convention: pairs are ``(x[..., 2j], x[..., 2j+1])``.
     """
     if positions is not None:
-        rope = rope[positions]  # [S, hd//2, 2]
-    cos = rope[..., 0][None, :, None, :]  # [1, S, 1, hd//2]
-    sin = rope[..., 1][None, :, None, :]
+        rope = rope[positions]  # [S, hd//2, 2], or [B, S, hd//2, 2] for per-row positions
+    if rope.ndim == 4:
+        # per-row positions (batched speculative decode: rows at different depths)
+        cos = rope[..., 0][:, :, None, :]  # [B, S, 1, hd//2]
+        sin = rope[..., 1][:, :, None, :]
+    else:
+        cos = rope[..., 0][None, :, None, :]  # [1, S, 1, hd//2]
+        sin = rope[..., 1][None, :, None, :]
     xf = x.astype(jnp.float32)
     x_even = xf[..., 0::2]
     x_odd = xf[..., 1::2]

@@ -32,7 +32,7 @@ def test_speculative_matches_target_greedy():
         max_new_tokens=24, gamma=4, cache_dtype=jnp.float32,
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
-    assert int(stats["tokens_emitted"]) >= 24
+    assert int(stats["tokens_emitted"][0]) >= 24
 
 
 def test_speculative_self_draft_full_acceptance():
@@ -76,6 +76,37 @@ def test_speculative_gamma_one():
     got, _ = generate_speculative(
         params, config, draft_params, draft_config, prompt,
         max_new_tokens=10, gamma=1, cache_dtype=jnp.float32,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_batched_speculative_matches_target_greedy():
+    """B=3 rows accept at different rates (per-row positions desynchronize); every
+    row must still equal its own target-greedy trajectory exactly."""
+    config, params, draft_config, draft_params = _models()
+    prompt = jnp.asarray(np.random.default_rng(8).integers(0, config.vocab_size, (3, 8)), jnp.int32)
+
+    want = generate(params, config, prompt, max_new_tokens=20, cache_dtype=jnp.float32)
+    got, stats = generate_speculative(
+        params, config, draft_params, draft_config, prompt,
+        max_new_tokens=20, gamma=3, cache_dtype=jnp.float32,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert stats["tokens_emitted"].shape == (3,)
+
+
+def test_batched_speculative_per_row_eos():
+    """One row hits eos early and freezes (padded tail) while the others keep
+    decoding to full length — exactly generate()'s per-row eos contract."""
+    config, params, draft_config, draft_params = _models()
+    prompt = jnp.asarray(np.random.default_rng(9).integers(0, config.vocab_size, (3, 6)), jnp.int32)
+    ref = np.asarray(generate(params, config, prompt, max_new_tokens=6, cache_dtype=jnp.float32))
+    eos = int(ref[1, 2])  # row 1's 3rd token -> that row stops early
+
+    want = generate(params, config, prompt, max_new_tokens=16, eos_id=eos, pad_id=0, cache_dtype=jnp.float32)
+    got, _ = generate_speculative(
+        params, config, draft_params, draft_config, prompt,
+        max_new_tokens=16, gamma=4, eos_id=eos, pad_id=0, cache_dtype=jnp.float32,
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
@@ -126,5 +157,5 @@ def test_sampled_speculative_self_draft_always_accepts():
         temperature=0.8, top_k=0, top_p=0.95, cache_dtype=jnp.float32,
     )
     assert got.shape == (1, n)
-    assert int(stats["tokens_emitted"]) >= n
+    assert int(stats["tokens_emitted"][0]) >= n
     assert int(stats["target_passes"]) == 1 + int(np.ceil((n - 1) / (gamma + 1)))

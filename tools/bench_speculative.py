@@ -72,7 +72,7 @@ def main():
     for tag, dp, dc in (("spec_floor", d_params, d_config), ("spec_ceiling", params, config)):
         (out, stats), dt = timed(lambda dp=dp, dc=dc: generate_speculative(
             params, config, dp, dc, prompt, max_new_tokens=n, gamma=args.gamma))
-        emitted = int(stats["tokens_emitted"])
+        emitted = int(np.asarray(stats["tokens_emitted"]).sum())
         passes = int(stats["target_passes"])
         rows[tag] = {
             "tok_s": round(emitted / dt, 1),
