@@ -355,7 +355,8 @@ def remat_policy(config: LlamaConfig):
     if config.remat_policy == "flash_qkv":
         # flash residuals + q/k/v projection outputs (~48 MB/layer at 8B, ~1.5 GB for
         # 32 layers): the backward skips recomputing the three projection int8 GEMMs
-        # AND their RoPE. Between "flash" (min memory) and "dots_flash" (OOM at 8B).
+        # (the names wrap the PRE-rope outputs, so the cheap RoPE rotation still
+        # re-runs). Between "flash" (min memory) and "dots_flash" (OOM at 8B).
         return jax.checkpoint_policies.save_only_these_names("flash_residuals", "qkv_proj")
     if config.remat_policy == "flash_proj":
         # additionally save the wo and w2 outputs (each D-wide, +2 GB at 8B): with a

@@ -52,7 +52,7 @@ from llama_x_tpu.ops.attention import MaskInfo
 
 def _prefill(params, config, prompt, cache_dtype):
     """Run the prompt through the trunk once, filling the cache.
-    -> (cache, last-position logits [1, V], pos)."""
+    -> (cache, last-position logits [B, V], pos)."""
     kv_cache = llama.init_kv_cache(config, prompt.shape[0], dtype=cache_dtype)
     x = jnp.take(params["tok_embeddings"]["weight"], prompt, axis=0)
     P = prompt.shape[1]

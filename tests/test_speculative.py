@@ -111,6 +111,29 @@ def test_batched_speculative_per_row_eos():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_batched_sampled_speculative_rows_independent():
+    """Sampled path at B=3 with IDENTICAL prompt rows: per-row keys (vmapped accept,
+    per-row gumbel noise) must make the rows sample independently — identical rows
+    would mean a key was reused across the batch. Self-draft keeps acceptance at
+    gamma+1/round, pinning the frozen-row/full-accept interplay under vmap too."""
+    config, params, _, _ = _models()
+    row = np.random.default_rng(10).integers(0, config.vocab_size, (1, 8))
+    prompt = jnp.asarray(np.repeat(row, 3, axis=0), jnp.int32)
+    n, gamma = 20, 3
+    got, stats = generate_speculative(
+        params, config, params, config, prompt,
+        max_new_tokens=n, gamma=gamma, key=jax.random.PRNGKey(11),
+        temperature=1.0, cache_dtype=jnp.float32,
+    )
+    out = np.asarray(got)
+    assert out.shape == (3, n)
+    assert (np.asarray(stats["tokens_emitted"]) >= n).all()
+    # 20 tokens over a 256-vocab at temperature 1: identical rows are ~impossible
+    # unless keys are shared across rows
+    assert not (np.all(out[0] == out[1]) and np.all(out[1] == out[2]))
+    assert int(stats["target_passes"]) == 1 + int(np.ceil((n - 1) / (gamma + 1)))
+
+
 def test_rejection_sampling_preserves_target_distribution():
     """The pure accept step (speculative_accept): over many keys, the FIRST emitted
     token's empirical law must be the target row p_0 — regardless of how bad the

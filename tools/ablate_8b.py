@@ -67,7 +67,8 @@ def step_time(config_overrides: dict, n_iters: int = 6) -> float:
 
 
 VARIANTS = [
-    ("baseline (flash remat, ce_chunks=8)", {}),
+    ("baseline (flash_proj remat, ce_chunks=8)", {}),
+    ("remat=flash", {"remat_policy": "flash"}),
     ("ce_chunks=4", {"fused_ce_chunks": 4}),
     ("ce_chunks=16", {"fused_ce_chunks": 16}),
     ("remat=dots_flash", {"remat_policy": "dots_flash"}),

@@ -83,6 +83,24 @@ def main():
         print(f"{tag}: {emitted / dt:7.1f} tok/s | {passes} target passes "
               f"({emitted / passes:.2f} tok/pass) | {rows[tag]['vs_plain']:.2f}x plain", flush=True)
 
+    # batched floor: B rows decode speculatively at once (per-row acceptance); with
+    # an uncorrelated draft every row advances ~1 token/round, so this measures the
+    # batched machinery's overhead vs plain batched decode
+    B = 8
+    bprompt = jnp.asarray(np.random.default_rng(1).integers(1, 32_000, (B, 512)), jnp.int32)
+    _, dt = timed(lambda: generate(params, config, bprompt, max_new_tokens=n))
+    rows["plain_b8"] = {"tok_s": round(B * n / dt, 1)}
+    (out, stats), dt = timed(lambda: generate_speculative(
+        params, config, d_params, d_config, bprompt, max_new_tokens=n, gamma=args.gamma))
+    emitted = int(np.asarray(stats["tokens_emitted"]).sum())
+    rows["spec_floor_b8"] = {
+        "tok_s": round(emitted / dt, 1),
+        "target_passes": int(stats["target_passes"]),
+        "vs_plain": round((emitted / dt) / rows["plain_b8"]["tok_s"], 3),
+    }
+    print(f"plain_b8:     {rows['plain_b8']['tok_s']:7.1f} tok/s | spec_floor_b8: "
+          f"{rows['spec_floor_b8']['tok_s']:7.1f} tok/s ({rows['spec_floor_b8']['vs_plain']:.2f}x)", flush=True)
+
     # arithmetic, not a measurement: the floor row's round cost (gamma cheap-draft
     # steps + one verify pass) is acceptance-independent, so a trained draft whose
     # proposals all get accepted would emit gamma+1 tokens per round at that same cost

@@ -123,10 +123,13 @@ def main():
         t0 = time.perf_counter()
         cache_dtype = jnp.int8 if args.kv_dtype == "int8" else jnp.bfloat16
         if draft is not None:
-            n_new = min(n_new, config.max_seq_len - len(ids) - args.gamma - 1)
+            n_new = min(n_new,
+                        config.max_seq_len - len(ids) - args.gamma - 1,
+                        draft[1].max_seq_len - len(ids) - args.gamma)
             assert n_new > 0, (
                 f"prompt ({len(ids)} tokens) + speculative reserve (gamma+1 = "
-                f"{args.gamma + 1}) exceeds the {config.max_seq_len} cache"
+                f"{args.gamma + 1}) exceeds the target ({config.max_seq_len}) or "
+                f"draft ({draft[1].max_seq_len}) cache"
             )
             out, stats = generate_speculative(
                 params, config, draft[0], draft[1], jnp.asarray([ids], jnp.int32),
