@@ -121,3 +121,12 @@ def test_generate_and_speculative_run_with_int8_cache():
         cache_dtype=jnp.int8,
     )
     assert out2.shape == (1, 8) and int(stats["target_passes"]) >= 1
+
+    # batched (B=2): per-row acceptance drives the vmapped QUANTIZED cache scatter
+    # (data + scale sides) — the int8 analogue of the bf16 per-row put() path
+    bprompt = jnp.asarray(np.random.default_rng(6).integers(1, 256, (2, 12)), jnp.int32)
+    out3, stats3 = generate_speculative(
+        params, config, params, config, bprompt, max_new_tokens=8, gamma=2,
+        cache_dtype=jnp.int8,
+    )
+    assert out3.shape == (2, 8) and stats3["tokens_emitted"].shape == (2,)
