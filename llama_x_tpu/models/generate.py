@@ -90,13 +90,22 @@ def generate(
     cache_dtype=jnp.bfloat16,
     prefix_embeds: jnp.ndarray | None = None,
     prefix_lm: bool = False,
+    prompt_lens: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """prompt [B, P] int32 (all rows full-length) → generated tokens [B, max_new_tokens].
+    """prompt [B, P] int32 → generated tokens [B, max_new_tokens].
 
     prefix_embeds [B, T, D], if given, are early-fusion modality tokens prepended before
     the prompt (audio/image stems); prefix_lm makes them attend bidirectionally. The
     total prefill length + max_new_tokens must fit in config.max_seq_len. Rows that emit
     ``eos_id`` are padded with ``pad_id`` afterwards.
+
+    ``prompt_lens`` [B] enables RAGGED batching: rows are right-padded to P and each
+    row's real length is prompt_lens[b]. One prefill covers the batch; each row's
+    first token samples from its own last valid position and decode proceeds at
+    per-row positions — generated tokens land at slot prompt_lens[b] onward,
+    OVERWRITING that row's pad-slot K/V, and the per-row kv_len mask hides any pad
+    slot that has not yet been overwritten (they coincide exactly). Each row's output
+    equals its own unbatched generate() (tested). Not combinable with prefix_embeds.
     """
     B, P = prompt.shape
     if key is None:
@@ -106,6 +115,7 @@ def generate(
     x = jnp.take(params["tok_embeddings"]["weight"], prompt, axis=0)
     n_prefix = 0
     if prefix_embeds is not None:
+        assert prompt_lens is None, "ragged prompts + modality prefixes not supported"
         n_prefix = prefix_embeds.shape[1]
         x = jnp.concatenate([prefix_embeds.astype(x.dtype), x], axis=1)
     total_p = n_prefix + P
@@ -115,22 +125,37 @@ def generate(
 
     # ---- prefill: one pass over prefix + prompt. prefill=True attends over the fresh
     # k/v (the cache is empty, positions start at 0 — identical result) so attention is
-    # O(P^2) not O(P * max_seq_len) and runs through the flash kernel ----
+    # O(P^2) not O(P * max_seq_len) and runs through the flash kernel. Ragged rows'
+    # pad positions are computed too (causal: they never influence valid positions)
+    # and their cache slots are later overwritten by that row's generated tokens ----
     pos = jnp.arange(total_p, dtype=jnp.int32)
     mask = MaskInfo(
         causal=True,
         prefix_len=jnp.full((B,), n_prefix, jnp.int32) if (prefix_lm and n_prefix) else None,
     )
     h, kv_cache = llama.trunk(params, config, x, mask, kv_cache, input_pos=pos, prefill=True)
-    logits = llama.head(params, config, h[:, -1:, :])
+    if prompt_lens is None:
+        h_last = h[:, -1:, :]
+    else:
+        lens = jnp.broadcast_to(prompt_lens.astype(jnp.int32).reshape(-1), (B,))
+        h_last = jnp.take_along_axis(h, (lens - 1)[:, None, None], axis=1)
+    logits = llama.head(params, config, h_last)
     first = sample_logits(key_first, logits[:, 0], temperature, top_k, top_p)
 
-    # ---- decode: fixed-length scan of single-token steps ----
+    # ---- decode: fixed-length scan of single-token steps. pos is scalar (uniform
+    # rows) or [B] (ragged — per-row cache scatter + rope, models/llama.py put()) ----
+    ragged = prompt_lens is not None
+
     def step(carry, step_key):
         kv_cache, tok, pos, done = carry
         x = jnp.take(params["tok_embeddings"]["weight"], tok[:, None], axis=0)
-        mask = MaskInfo(causal=True, q_positions=pos[None, None], kv_len=pos[None] + 1)
-        h, kv_cache = llama.trunk(params, config, x, mask, kv_cache, input_pos=pos[None])
+        if ragged:
+            mask = MaskInfo(causal=True, q_positions=pos[:, None], kv_len=pos + 1)
+            input_pos = pos[:, None]
+        else:
+            mask = MaskInfo(causal=True, q_positions=pos[None, None], kv_len=pos[None] + 1)
+            input_pos = pos[None]
+        h, kv_cache = llama.trunk(params, config, x, mask, kv_cache, input_pos=input_pos)
         logits = llama.head(params, config, h)
         nxt = sample_logits(step_key, logits[:, 0], temperature, top_k, top_p)
         nxt = jnp.where(done, pad_id, nxt)
@@ -139,7 +164,8 @@ def generate(
 
     done0 = first == eos_id
     keys = jax.random.split(key_rest, max_new_tokens)
-    init = (kv_cache, first, jnp.asarray(total_p, jnp.int32), done0)
+    pos0 = lens if ragged else jnp.asarray(total_p, jnp.int32)
+    init = (kv_cache, first, pos0, done0)
     if max_new_tokens > 1:
         _, rest = jax.lax.scan(step, init, keys[:-1])
         out = jnp.concatenate([first[:, None], rest.T], axis=1)

@@ -98,3 +98,47 @@ def test_sample_logits_top_p():
     assert len(toks) >= 3
     # the nucleus always contains the top token even when top_p ~ 0
     assert int(sample_logits(jax.random.PRNGKey(0), logits, 2.0, 0, top_p=1e-6)[0]) == 0
+
+
+def test_ragged_batched_generate_matches_per_row():
+    """prompt_lens: right-padded rows of different lengths in ONE batch — each row's
+    greedy continuation must equal its own unbatched generate() exactly (the pad-slot
+    overwrite + per-row kv_len masking must coincide perfectly)."""
+    config = llama.tiny_config(max_seq_len=64)
+    params = llama.init(jax.random.PRNGKey(1), config, dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    rows = [rng.integers(1, config.vocab_size, (n,)) for n in (3, 8, 5)]
+    P = max(len(r) for r in rows)
+    padded = np.zeros((3, P), np.int32)
+    for i, r in enumerate(rows):
+        padded[i, : len(r)] = r
+    lens = jnp.asarray([len(r) for r in rows], jnp.int32)
+
+    got = generate(
+        params, config, jnp.asarray(padded), max_new_tokens=8,
+        prompt_lens=lens, cache_dtype=jnp.float32,
+    )
+    for i, r in enumerate(rows):
+        want = generate(
+            params, config, jnp.asarray(r[None, :], jnp.int32), max_new_tokens=8,
+            cache_dtype=jnp.float32,
+        )
+        np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(want[0]), err_msg=f"row {i}")
+
+
+def test_ragged_generate_eos_per_row():
+    config = llama.tiny_config(max_seq_len=64)
+    params = llama.init(jax.random.PRNGKey(3), config, dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    padded = rng.integers(1, config.vocab_size, (2, 8)).astype(np.int32)
+    padded[0, 5:] = 0
+    lens = jnp.asarray([5, 8], jnp.int32)
+    ref = np.asarray(generate(params, config, jnp.asarray(padded), max_new_tokens=8,
+                              prompt_lens=lens, cache_dtype=jnp.float32))
+    eos = int(ref[0, 2])  # row 0 stops at its 3rd token
+    got = np.asarray(generate(params, config, jnp.asarray(padded), max_new_tokens=8,
+                              prompt_lens=lens, eos_id=eos, pad_id=0, cache_dtype=jnp.float32))
+    row0 = ref[0].copy()
+    stop = int(np.argmax(row0 == eos))
+    row0[stop + 1:] = 0
+    np.testing.assert_array_equal(got[0], row0)

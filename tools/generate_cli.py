@@ -49,6 +49,9 @@ def main():
                         help="KV cache dtype: int8 halves cache HBM traffic + residency on the "
                              "single-token decode path; combined with --draft_model the "
                              "multi-query verify steps dequantize via XLA (no kernel win)")
+    parser.add_argument("--batch", action="store_true",
+                        help="generate all prompts in ONE ragged batch (single prefill; "
+                             "per-row lengths) instead of sequentially — not with --draft_*")
     parser.add_argument("--template", choices=["alpaca"],
                         help="wrap each prompt in the training prompt template "
                              "(alpaca = the MetaMathQA SFT format, data/metamathqa.py)")
@@ -113,6 +116,34 @@ def main():
         prompts = [PROMPT_TEMPLATE.format(query=p) for p in prompts]
 
     key = jax.random.PRNGKey(args.seed)
+    if args.batch:
+        assert draft is None, "--batch is for the plain path (speculative batches internally)"
+        ids_rows = [tok(p, add_bos=True) for p in prompts]
+        P = max(len(r) for r in ids_rows)
+        n_new = min(args.max_new_tokens, config.max_seq_len - P)
+        assert n_new > 0, f"longest prompt ({P} tokens) fills the {config.max_seq_len} cache"
+        padded = np.full((len(ids_rows), P), tok.pad_id, np.int32)
+        for i, r in enumerate(ids_rows):
+            padded[i, : len(r)] = r
+        lens = jnp.asarray([len(r) for r in ids_rows], jnp.int32)
+        eos_id = -1 if args.no_eos else tok.eos_id
+        t0 = time.perf_counter()
+        out = generate(
+            params, config, jnp.asarray(padded), max_new_tokens=n_new, key=key,
+            temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
+            eos_id=eos_id, pad_id=tok.pad_id, prompt_lens=lens,
+            cache_dtype=jnp.int8 if args.kv_dtype == "int8" else jnp.bfloat16,
+        )
+        rows = np.asarray(out)
+        dt = time.perf_counter() - t0
+        total = sum(int((row != tok.pad_id).sum()) for row in rows)
+        print(f"--- {len(prompts)} prompts in one ragged batch: {total} tokens "
+              f"({total / dt:.1f} tok/s incl. prefill + compile) ---", file=sys.stderr)
+        for prompt, row in zip(prompts, rows):
+            toks = [int(t) for t in row if t not in (tok.pad_id, tok.eos_id)]
+            print(prompt + tok.decode(toks))
+        return
+
     for i, prompt in enumerate(prompts):
         ids = tok(prompt, add_bos=True)
         budget = config.max_seq_len - len(ids)
