@@ -31,17 +31,23 @@ from llama_x_tpu.ops.attention import MaskInfo
 
 
 def filter_logits(
-    logits: jnp.ndarray, temperature: float, top_k: int, top_p: float = 1.0
+    logits: jnp.ndarray, temperature: float, top_k: int, top_p: float = 1.0,
+    min_p: float = 0.0,
 ) -> jnp.ndarray:
-    """Temperature + top-k + top-p filtering: [..., V] float logits → f32 logits with
-    filtered-out tokens at -inf. ``softmax`` of the result IS the sampling
-    distribution — shared by the ancestral sampler below and the speculative
+    """Temperature + top-k + top-p + min-p filtering: [..., V] float logits → f32
+    logits with filtered-out tokens at -inf. ``softmax`` of the result IS the
+    sampling distribution — shared by the ancestral sampler below and the speculative
     rejection sampler (models/speculative.py), which must agree on it exactly.
     Caller guarantees temperature > 0."""
     logits = logits.astype(jnp.float32) / temperature
     if top_k > 0:
         kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if min_p > 0.0:
+        # keep tokens whose probability >= min_p * max probability — in log space
+        # a threshold relative to the max logit (softmax-normalizer cancels)
+        cutoff = jnp.max(logits, axis=-1, keepdims=True) + jnp.log(min_p)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
     if top_p < 1.0:
         sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]  # descending
         probs = jax.nn.softmax(sorted_logits, axis=-1)
@@ -55,16 +61,18 @@ def filter_logits(
 
 
 def sample_logits(
-    key: jax.Array, logits: jnp.ndarray, temperature: float, top_k: int, top_p: float = 1.0
+    key: jax.Array, logits: jnp.ndarray, temperature: float, top_k: int, top_p: float = 1.0,
+    min_p: float = 0.0,
 ) -> jnp.ndarray:
     """logits [B, V] → token ids [B]. temperature==0 → argmax (key unused).
 
-    top_k and top_p (nucleus) filters compose: top_k truncates first, then the
-    smallest set of tokens whose cumulative probability exceeds top_p survives.
-    Everything is static-shape (sort + cumsum + where), so the sampler scans/jits."""
+    The filters compose: top_k truncates first, then min_p drops tokens whose
+    probability is below min_p x the top token's, then the smallest set whose
+    cumulative probability exceeds top_p survives. Everything is static-shape
+    (sort + cumsum + where), so the sampler scans/jits."""
     if temperature == 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    logits = filter_logits(logits, temperature, top_k, top_p)
+    logits = filter_logits(logits, temperature, top_k, top_p, min_p)
     gumbel = jax.random.gumbel(key, logits.shape, jnp.float32)
     return jnp.argmax(logits + gumbel, axis=-1).astype(jnp.int32)
 
@@ -72,7 +80,7 @@ def sample_logits(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "config", "max_new_tokens", "temperature", "top_k", "top_p", "eos_id", "pad_id", "cache_dtype", "prefix_lm"
+        "config", "max_new_tokens", "temperature", "top_k", "top_p", "min_p", "eos_id", "pad_id", "cache_dtype", "prefix_lm"
     ),
 )
 def generate(
@@ -85,6 +93,7 @@ def generate(
     temperature: float = 0.0,
     top_k: int = 0,
     top_p: float = 1.0,
+    min_p: float = 0.0,
     eos_id: int = -1,
     pad_id: int = 0,
     cache_dtype=jnp.bfloat16,
@@ -140,7 +149,7 @@ def generate(
         lens = jnp.broadcast_to(prompt_lens.astype(jnp.int32).reshape(-1), (B,))
         h_last = jnp.take_along_axis(h, (lens - 1)[:, None, None], axis=1)
     logits = llama.head(params, config, h_last)
-    first = sample_logits(key_first, logits[:, 0], temperature, top_k, top_p)
+    first = sample_logits(key_first, logits[:, 0], temperature, top_k, top_p, min_p)
 
     # ---- decode: fixed-length scan of single-token steps. pos is scalar (uniform
     # rows) or [B] (ragged — per-row cache scatter + rope, models/llama.py put()) ----
@@ -157,7 +166,7 @@ def generate(
             input_pos = pos[None]
         h, kv_cache = llama.trunk(params, config, x, mask, kv_cache, input_pos=input_pos)
         logits = llama.head(params, config, h)
-        nxt = sample_logits(step_key, logits[:, 0], temperature, top_k, top_p)
+        nxt = sample_logits(step_key, logits[:, 0], temperature, top_k, top_p, min_p)
         nxt = jnp.where(done, pad_id, nxt)
         done = done | (nxt == eos_id)
         return (kv_cache, nxt, pos + 1, done), nxt

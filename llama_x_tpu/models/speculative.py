@@ -62,7 +62,7 @@ def _prefill(params, config, prompt, cache_dtype):
     return kv_cache, logits[:, 0], jnp.asarray(P, jnp.int32)
 
 
-def _draft_propose(params, config, cache, prev, cur, pos, gamma, key, temperature, top_k, top_p):
+def _draft_propose(params, config, cache, prev, cur, pos, gamma, key, temperature, top_k, top_p, min_p):
     """gamma draft steps. prev/cur/pos [B]. -> (cache, drafts [B, gamma],
     q_probs [B, gamma, V]).
 
@@ -79,7 +79,7 @@ def _draft_propose(params, config, cache, prev, cur, pos, gamma, key, temperatur
     def sample(logits, step_key):  # logits [B, V]
         if temperature == 0.0:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32), jnp.zeros_like(logits, jnp.float32)
-        f = filter_logits(logits, temperature, top_k, top_p)
+        f = filter_logits(logits, temperature, top_k, top_p, min_p)
         gumbel = jax.random.gumbel(step_key, f.shape, jnp.float32)
         return jnp.argmax(f + gumbel, axis=-1).astype(jnp.int32), jax.nn.softmax(f, axis=-1)
 
@@ -155,7 +155,7 @@ def speculative_accept(key, drafts, q_probs, p_probs):
     jax.jit,
     static_argnames=(
         "config", "draft_config", "max_new_tokens", "gamma", "eos_id", "pad_id",
-        "cache_dtype", "temperature", "top_k", "top_p",
+        "cache_dtype", "temperature", "top_k", "top_p", "min_p",
     ),
 )
 def generate_speculative(
@@ -171,6 +171,7 @@ def generate_speculative(
     temperature: float = 0.0,
     top_k: int = 0,
     top_p: float = 1.0,
+    min_p: float = 0.0,
     eos_id: int = -1,
     pad_id: int = 0,
     cache_dtype=jnp.bfloat16,
@@ -205,7 +206,7 @@ def generate_speculative(
 
     t_cache, first_logits, _ = _prefill(params, config, prompt, cache_dtype)
     d_cache, _, _ = _prefill(draft_params, draft_config, prompt, cache_dtype)
-    first = sample_logits(first_key, first_logits, temperature, top_k, top_p)  # [B]
+    first = sample_logits(first_key, first_logits, temperature, top_k, top_p, min_p)  # [B]
     t_pos = jnp.full((B,), P, jnp.int32)
     d_pos = jnp.full((B,), P, jnp.int32)
 
@@ -224,7 +225,7 @@ def generate_speculative(
         t_cache, d_cache, prev, cur, t_pos, d_pos, buf, n_out, done, rounds, key = carry
         key, d_key, a_key = jax.random.split(key, 3)
         d_cache, drafts, q_probs = _draft_propose(
-            draft_params, draft_config, d_cache, prev, cur, d_pos, gamma, d_key, temperature, top_k, top_p
+            draft_params, draft_config, d_cache, prev, cur, d_pos, gamma, d_key, temperature, top_k, top_p, min_p
         )
         t_cache, t_logits = _target_verify(params, config, t_cache, cur, drafts, t_pos, gamma)
 
@@ -238,7 +239,7 @@ def generate_speculative(
             # targets[:, a]: every emitted token is the target's own greedy choice
             emitted, m = targets, a + 1
         else:
-            p_probs = jax.nn.softmax(filter_logits(t_logits, temperature, top_k, top_p), axis=-1)
+            p_probs = jax.nn.softmax(filter_logits(t_logits, temperature, top_k, top_p, min_p), axis=-1)
             emitted, m = jax.vmap(speculative_accept)(
                 jax.random.split(a_key, B), drafts, q_probs, p_probs
             )

@@ -142,3 +142,13 @@ def test_ragged_generate_eos_per_row():
     stop = int(np.argmax(row0 == eos))
     row0[stop + 1:] = 0
     np.testing.assert_array_equal(got[0], row0)
+
+
+def test_sample_logits_min_p():
+    logits = jnp.asarray([[np.log(0.5), np.log(0.3), np.log(0.15), np.log(0.05)]], jnp.float32)
+    # min_p=0.4: only tokens with p >= 0.4*0.5=0.2 survive -> {0, 1}
+    toks = {int(sample_logits(jax.random.PRNGKey(i), logits, 1.0, 0, min_p=0.4)[0]) for i in range(64)}
+    assert toks <= {0, 1} and len(toks) == 2
+    # min_p=0 is a no-op: the tail token stays reachable at high temperature
+    toks = {int(sample_logits(jax.random.PRNGKey(i), logits, 5.0, 0, min_p=0.0)[0]) for i in range(64)}
+    assert len(toks) >= 3

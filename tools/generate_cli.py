@@ -41,6 +41,8 @@ def main():
     parser.add_argument("--temperature", type=float, default=0.0, help="0 = greedy")
     parser.add_argument("--top_k", type=int, default=0)
     parser.add_argument("--top_p", type=float, default=1.0)
+    parser.add_argument("--min_p", type=float, default=0.0,
+                        help="drop tokens with prob < min_p * top-token prob")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--max_seq_len", type=int, default=0,
                         help="cap the KV cache (0: model config; smaller = less HBM)")
@@ -131,7 +133,7 @@ def main():
         out = generate(
             params, config, jnp.asarray(padded), max_new_tokens=n_new, key=key,
             temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
-            eos_id=eos_id, pad_id=tok.pad_id, prompt_lens=lens,
+            min_p=args.min_p, eos_id=eos_id, pad_id=tok.pad_id, prompt_lens=lens,
             cache_dtype=jnp.int8 if args.kv_dtype == "int8" else jnp.bfloat16,
         )
         rows = np.asarray(out)
@@ -166,14 +168,14 @@ def main():
                 params, config, draft[0], draft[1], jnp.asarray([ids], jnp.int32),
                 max_new_tokens=n_new, gamma=args.gamma, key=sub,
                 temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
-                eos_id=eos_id, pad_id=tok.pad_id, cache_dtype=cache_dtype,
+                min_p=args.min_p, eos_id=eos_id, pad_id=tok.pad_id, cache_dtype=cache_dtype,
             )
         else:
             out = generate(
                 params, config, jnp.asarray([ids], jnp.int32),
                 max_new_tokens=n_new, key=sub,
                 temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
-                eos_id=eos_id, pad_id=tok.pad_id, cache_dtype=cache_dtype,
+                min_p=args.min_p, eos_id=eos_id, pad_id=tok.pad_id, cache_dtype=cache_dtype,
             )
         row = [int(t) for t in np.asarray(out)[0] if t not in (tok.pad_id, tok.eos_id)]
         dt = time.perf_counter() - t0

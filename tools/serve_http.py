@@ -87,7 +87,7 @@ class Engine:
         return params, config
 
     def complete(self, prompts: list[str], max_tokens: int, temperature: float,
-                 top_k: int, top_p: float):
+                 top_k: int, top_p: float, min_p: float = 0.0):
         import numpy as np
 
         from llama_x_tpu.models.generate import generate
@@ -111,7 +111,8 @@ class Engine:
             out = generate(
                 self.params, self.config, jnp.asarray(padded), max_new_tokens=n_new,
                 key=self.jax.random.PRNGKey(self.seed), temperature=temperature,
-                top_k=top_k, top_p=top_p, eos_id=self.tok.eos_id, pad_id=self.tok.pad_id,
+                top_k=top_k, top_p=top_p, min_p=min_p,
+                eos_id=self.tok.eos_id, pad_id=self.tok.pad_id,
                 prompt_lens=lens if len(rows) > 1 else None,
                 cache_dtype=self.cache_dtype,
             )
@@ -159,6 +160,7 @@ def make_handler(engine: Engine):
                     temperature=float(req.get("temperature", 0.0)),
                     top_k=int(req.get("top_k", 0)),
                     top_p=float(req.get("top_p", 1.0)),
+                    min_p=float(req.get("min_p", 0.0)),
                 )
                 dt = time.perf_counter() - t0
                 self._reply(200, {
