@@ -60,6 +60,12 @@ def test_serve_http_completions():
         assert len(batch["choices"]) == 2
         assert [c["index"] for c in batch["choices"]] == [0, 1]
 
+        multi = post({"prompt": "2+2=", "max_tokens": 6, "n": 2, "temperature": 0.9})
+        assert len(multi["choices"]) == 2
+
+        stopped = post({"prompt": "2+2=", "max_tokens": 6, "stop": ["\x00"]})
+        assert len(stopped["choices"]) == 1  # stop trimming must not error
+
         err = post({"max_tokens": 4})
         assert "error" in err
     finally:

@@ -6,7 +6,10 @@ int8 KV cache) already lives in the compiled generate() path:
 
 - `prompt` may be a string or a list of strings: a list runs as ONE ragged batch
   (single prefill, per-row lengths — models/generate.py prompt_lens).
-- `temperature` / `top_k` / `top_p` / `max_tokens` map straight onto sample_logits.
+- `temperature` / `top_k` / `top_p` / `min_p` / `max_tokens` map onto sample_logits;
+  `n` returns n independent samples per prompt (replicated rows in the same batch);
+  `stop` (string or list) truncates each completion at the first stop sequence
+  (host-side text trim after the compiled generate).
 - int8 weights serve directly from a QLoRA run dir (--resume), int8 KV cache via
   --kv_dtype int8 — same flags as tools/generate_cli.py.
 - requests are served under a model lock (one TPU program at a time); shape-identical
@@ -153,15 +156,25 @@ def make_handler(engine: Engine):
                 prompt = req.get("prompt", "")
                 prompts = prompt if isinstance(prompt, list) else [prompt]
                 assert prompts and all(isinstance(p, str) and p for p in prompts), "prompt required"
+                n = int(req.get("n", 1))
+                assert 1 <= n <= 64, "n must be in [1, 64]"
+                stop = req.get("stop") or []
+                stop = [stop] if isinstance(stop, str) else list(stop)
                 t0 = time.perf_counter()
                 texts, counts = engine.complete(
-                    prompts,
+                    prompts * n if n > 1 else prompts,
                     max_tokens=int(req.get("max_tokens", 64)),
                     temperature=float(req.get("temperature", 0.0)),
                     top_k=int(req.get("top_k", 0)),
                     top_p=float(req.get("top_p", 1.0)),
                     min_p=float(req.get("min_p", 0.0)),
                 )
+                if stop:
+                    cut = []
+                    for t in texts:
+                        idxs = [t.index(sq) for sq in stop if sq in t]
+                        cut.append(t[: min(idxs)] if idxs else t)
+                    texts = cut
                 dt = time.perf_counter() - t0
                 self._reply(200, {
                     "object": "text_completion",
