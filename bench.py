@@ -259,7 +259,11 @@ def bench_1b():
 
 def main():
     import argparse
+    import os
+    import subprocess
+    import sys
 
+    from llama_x_tpu.utils.backend_probe import wait_for_backend
     from llama_x_tpu.utils.cache import enable_compilation_cache
     from llama_x_tpu.utils.platform import apply_platform_env
 
@@ -271,10 +275,43 @@ def main():
     args = parser.parse_args()
     global INT8_BWD
     INT8_BWD = not args.no_int8_bwd
+
+    diag = {
+        "metric": "mfu_8b_qlora_prefix_lm" if args.model == "8b" else "audio_text_tokens_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "MFU (useful-FLOPs / bf16 peak)" if args.model == "8b" else "tokens/s",
+        "vs_baseline": 0.0,
+    }
+
+    # The tunneled backend is flaky at first contact (BENCH_r03 died on backend init
+    # with no JSON emitted). Gate on a bounded-subprocess health probe with ~10 min of
+    # backoff before committing this process to device work, and always emit one JSON
+    # line even on final failure so the driver records a diagnostic, not a bare rc=1.
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        res = wait_for_backend(budget_s=float(os.environ.get("BENCH_PROBE_BUDGET_S", "600")))
+        if not res["ok"]:
+            print(json.dumps({**diag, "error": f"TPU backend unavailable: {res['detail']}",
+                              "probe_attempts": res["attempts"], "probe_elapsed_s": res["elapsed_s"]}),
+                  flush=True)
+            sys.exit(1)
+
     # compile_s in the output JSON reflects the persistent cache state: ~10 min on a
     # true cold start, seconds when ~/.cache/llama_x_tpu holds the executable
     enable_compilation_cache()
-    bench_1b() if args.model == "1b" else bench_8b()
+    try:
+        bench_1b() if args.model == "1b" else bench_8b()
+    except Exception as e:  # noqa: BLE001 — emit diagnostics for ANY failure
+        if os.environ.get("BENCH_NO_RETRY") != "1":
+            # A mid-run backend drop can poison this process's backend object; retry
+            # once in a clean process after the backend probes healthy again.
+            print(f"[bench] run failed ({type(e).__name__}: {str(e)[:200]}); "
+                  "retrying once in a fresh process", file=sys.stderr, flush=True)
+            res = wait_for_backend(budget_s=float(os.environ.get("BENCH_PROBE_BUDGET_S", "600")))
+            if res["ok"]:
+                env = dict(os.environ, BENCH_NO_RETRY="1")
+                sys.exit(subprocess.call([sys.executable, os.path.abspath(__file__), *sys.argv[1:]], env=env))
+        print(json.dumps({**diag, "error": f"{type(e).__name__}: {str(e)[:400]}"}), flush=True)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -234,14 +234,16 @@ def attention(
         decode_from_cache = not prefill
 
     if decode_from_cache:
-        # single-token decode over the static cache: the Pallas decode kernel reads
-        # only the live kv_len prefix, in the cache's own [B, Hkv, S, D] layout
-        # (O(kv_len) contiguous HBM traffic, ops/decode_attention.py)
+        # small-Sq decode over the static cache (Sq=1 plain decode, Sq=2 speculative
+        # draft pair, Sq=gamma+1 verify): the Pallas decode kernel reads only the live
+        # kv_len prefix, in the cache's own [B, Hkv, S, D] layout (O(kv_len)
+        # contiguous HBM traffic, ops/decode_attention.py), with a per-query causal
+        # staircase for Sq > 1
         from llama_x_tpu.ops import decode_attention as da
 
         cache_shape = k_cache[0].shape if quantized_cache else k_cache.shape
         if config.attn_impl != "xla" and da.decode_supported(q.shape, cache_shape, mask_info):
-            lens = da.effective_lens(mask_info, B)
+            lens = da.effective_lens(mask_info, B, S)
             if quantized_cache:
                 out = da.decode_attention_int8(
                     q, k_cache[0], k_cache[1], v_cache[0], v_cache[1], lens, 1.0 / c.head_dim**0.5

@@ -52,7 +52,7 @@ def test_effective_lens_caps_at_query_position():
     mi = MaskInfo(causal=True, q_positions=pos, kv_len=kv_len)
     assert da.decode_supported(q.shape, k.shape, mi)
     lens = da.effective_lens(mi, 2)
-    np.testing.assert_array_equal(np.asarray(lens), [101, 201])
+    np.testing.assert_array_equal(np.asarray(lens), [[101], [201]])
     got = da.decode_attention(q, k, v, lens, 1.0 / 128**0.5)
     want = _oracle(q, k, v, mi)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
@@ -91,6 +91,91 @@ def test_model_decode_routes_through_kernel():
             input_pos=jnp.asarray([100], jnp.int32), kv_len=jnp.asarray([101], jnp.int32),
         )
         return logits
+
+    got = run(config)
+    want = run(config.replace(attn_impl="xla"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("sq", [2, 4, 8])
+def test_decode_kernel_multi_query_staircase(sq):
+    """Small-Sq decode (speculative verify shape): per-query windows form the causal
+    staircase min(kv_len, q_pos+1); kernel must equal the oracle at ragged per-row
+    depths, including rows whose windows straddle a block boundary."""
+    rng = np.random.default_rng(10 + sq)
+    B, S_max, Hq, Hkv, D = 3, 512, 8, 4, 128
+    q = jnp.asarray(rng.standard_normal((B, sq, Hq, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, Hkv, S_max, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, Hkv, S_max, D)).astype(np.float32))
+    # verify-pass geometry: row b's queries sit at pos_b..pos_b+sq-1, all fresh keys
+    # already written (kv_len = pos + sq)
+    pos = jnp.asarray([5, 127, 300], jnp.int32)
+    qpos = pos[:, None] + jnp.arange(sq, dtype=jnp.int32)[None, :]
+    kv_len = pos + sq
+    mi = MaskInfo(causal=True, q_positions=qpos, kv_len=kv_len)
+    assert da.decode_supported(q.shape, k.shape, mi)
+    lens = da.effective_lens(mi, B, sq)
+    np.testing.assert_array_equal(np.asarray(lens), np.asarray(qpos + 1))
+    got = da.decode_attention(q, k, v, lens, 1.0 / D**0.5)
+    want = _oracle(q, k, v, mi)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_decode_kernel_draft_pair_step():
+    """The speculative draft's first step: Sq=2 at positions [pos-1, pos] with
+    kv_len = pos+1 (the hole-filling pair, models/speculative.py:_draft_propose)."""
+    rng = np.random.default_rng(20)
+    B, S_max, Hq, Hkv, D = 2, 512, 8, 4, 128
+    q = jnp.asarray(rng.standard_normal((B, 2, Hq, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, Hkv, S_max, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, Hkv, S_max, D)).astype(np.float32))
+    pos = jnp.asarray([64, 257], jnp.int32)
+    ppos = pos[:, None] + jnp.arange(-1, 1, dtype=jnp.int32)[None, :]
+    mi = MaskInfo(causal=True, q_positions=ppos, kv_len=pos + 1)
+    assert da.decode_supported(q.shape, k.shape, mi)
+    got = da.decode_attention(q, k, v, da.effective_lens(mi, B, 2), 1.0 / D**0.5)
+    want = _oracle(q, k, v, mi)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_decode_rejects_oversized_sq():
+    rng = np.random.default_rng(21)
+    q, k, v = _setup(rng)
+    q9 = jnp.broadcast_to(q, (2, da.MAX_SQ + 1, 8, 128))
+    mi = MaskInfo(causal=True, q_positions=jnp.zeros((2, da.MAX_SQ + 1), jnp.int32),
+                  kv_len=jnp.asarray([9, 9], jnp.int32))
+    assert not da.decode_supported(q9.shape, k.shape, mi)
+
+
+def test_model_multi_query_decode_routes_through_kernel():
+    """A verify-pass-shaped forward (Sq=3, per-row positions) under attn_impl='auto'
+    (kernel, interpret) must match attn_impl='xla' on identical params/cache."""
+    from llama_x_tpu.models import llama
+    from llama_x_tpu.ops.attention import MaskInfo as MI
+
+    config = llama.tiny_config(
+        embed_dim=256, num_layers=2, head_dim=128, num_heads=2, num_kv_heads=1,
+        intermediate_dim=512, vocab_size=512, max_seq_len=256, attn_impl="auto",
+    )
+    params = llama.init(jax.random.PRNGKey(0), config, dtype=jnp.float32)
+    rng = np.random.default_rng(6)
+    B = 2
+    prompt = jnp.asarray(rng.integers(1, 512, (B, 50)), jnp.int32)
+    tok = jnp.asarray(rng.integers(1, 512, (B, 3)), jnp.int32)
+    pos = jnp.asarray([50, 31], jnp.int32)  # desynchronized rows (speculative shape)
+
+    def run(cfg):
+        cache = llama.init_kv_cache(cfg, B, dtype=jnp.float32)
+        x = jnp.take(params["tok_embeddings"]["weight"], prompt, axis=0)
+        _, cache = llama.trunk(
+            params, cfg, x, MI(causal=True), cache,
+            input_pos=jnp.arange(50, dtype=jnp.int32), prefill=True,
+        )
+        qpos = pos[:, None] + jnp.arange(3, dtype=jnp.int32)[None, :]
+        mi = MI(causal=True, q_positions=qpos, kv_len=pos + 3)
+        xt = jnp.take(params["tok_embeddings"]["weight"], tok, axis=0)
+        h, _ = llama.trunk(params, cfg, xt, mi, cache, input_pos=qpos)
+        return h
 
     got = run(config)
     want = run(config.replace(attn_impl="xla"))

@@ -49,6 +49,28 @@ def test_int8_kernel_vs_dequant_oracle():
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
 
 
+def test_int8_kernel_multi_query_staircase():
+    """Small-Sq over the int8 cache (speculative verify with a quantized cache): the
+    kernel's per-query staircase + in-VMEM dequant vs the dequantized oracle."""
+    rng = np.random.default_rng(7)
+    B, sq, Hq, Hkv, S_max, D = 2, 4, 8, 4, 512, 128
+    q = jnp.asarray(rng.standard_normal((B, sq, Hq, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, Hkv, S_max, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, Hkv, S_max, D)).astype(np.float32))
+    k_i8, k_s = llama.quantize_kv_rows(k)
+    v_i8, v_s = llama.quantize_kv_rows(v)
+    pos = jnp.asarray([60, 255], jnp.int32)
+    qpos = pos[:, None] + jnp.arange(sq, dtype=jnp.int32)[None, :]
+    mi = MaskInfo(causal=True, q_positions=qpos, kv_len=pos + sq)
+    assert da.decode_supported(q.shape, k_i8.shape, mi)
+    lens = da.effective_lens(mi, B, sq)
+    got = da.decode_attention_int8(q, k_i8, k_s, v_i8, v_s, lens, 1.0 / D**0.5)
+    kd = llama.dequant_kv((k_i8, k_s)).astype(jnp.float32)
+    vd = llama.dequant_kv((v_i8, v_s)).astype(jnp.float32)
+    want = dot_product_attention(q, kd.transpose(0, 2, 1, 3), vd.transpose(0, 2, 1, 3), mi)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
 def test_model_decode_int8_cache_kernel_vs_xla():
     """llama.forward decode over an int8 cache: kernel routing (interpret) vs the XLA
     dequant fallback on identical params/cache must agree."""
