@@ -24,10 +24,11 @@ speculative sampling agree on what "the target distribution" is.
 Cache rollback is free with static full-length caches: rejected positions' K/V stay
 in the buffer but ``kv_len`` masking hides them, and the next round overwrites them.
 
-``cache_dtype=int8`` works here too, but the multi-query verify pass (Sq = gamma+1)
-and the draft pair step (Sq = 2) take the XLA fallback, which dequantizes the cache
-side per layer — the int8 decode kernel's bandwidth win applies only to the Sq=1
-steps, so quantize the cache for capacity, not speed, when drafting.
+Every step here rides the Pallas decode kernel (ops/decode_attention.py): the
+multi-query verify pass (Sq = gamma+1 <= MAX_SQ) and the draft pair step (Sq = 2)
+use the kernel's small-Sq form with a per-query causal staircase, so verify cost is
+O(kv_len) cache traffic, not O(S_max) dense attention — with ``cache_dtype=int8``
+the in-VMEM dequant applies to every pass as well.
 
 The reference has no sampling loop at all (SURVEY.md §3); this is the TPU-native
 serving-latency design on top of models/generate.py's prefill+scan machinery.
@@ -50,16 +51,30 @@ from llama_x_tpu.models.generate import filter_logits, sample_logits
 from llama_x_tpu.ops.attention import MaskInfo
 
 
-def _prefill(params, config, prompt, cache_dtype):
+def _prefill(params, config, prompt, cache_dtype, prompt_lens=None):
     """Run the prompt through the trunk once, filling the cache.
-    -> (cache, last-position logits [B, V], pos)."""
-    kv_cache = llama.init_kv_cache(config, prompt.shape[0], dtype=cache_dtype)
+    -> (cache, per-row last-valid-position logits [B, V], per-row pos [B]).
+
+    ``prompt_lens`` [B] enables RAGGED rows (right-padded to P): the first logits
+    gather from each row's own last valid position and pos starts per-row. Pad
+    positions' K/V are written too, but every later pass masks kv_pos < its per-query
+    window AND overwrites slot pos before the window reaches it — the same argument
+    as models/generate.py's ragged decode (pad slots and not-yet-overwritten slots
+    coincide exactly)."""
+    B, P = prompt.shape
+    kv_cache = llama.init_kv_cache(config, B, dtype=cache_dtype)
     x = jnp.take(params["tok_embeddings"]["weight"], prompt, axis=0)
-    P = prompt.shape[1]
     pos = jnp.arange(P, dtype=jnp.int32)
     h, kv_cache = llama.trunk(params, config, x, MaskInfo(causal=True), kv_cache, input_pos=pos, prefill=True)
-    logits = llama.head(params, config, h[:, -1:, :])
-    return kv_cache, logits[:, 0], jnp.asarray(P, jnp.int32)
+    if prompt_lens is None:
+        h_last = h[:, -1:, :]
+        row_pos = jnp.full((B,), P, jnp.int32)
+    else:
+        lens = jnp.broadcast_to(prompt_lens.astype(jnp.int32).reshape(-1), (B,))
+        h_last = jnp.take_along_axis(h, (lens - 1)[:, None, None], axis=1)
+        row_pos = lens
+    logits = llama.head(params, config, h_last)
+    return kv_cache, logits[:, 0], row_pos
 
 
 def _draft_propose(params, config, cache, prev, cur, pos, gamma, key, temperature, top_k, top_p, min_p):
@@ -175,8 +190,11 @@ def generate_speculative(
     eos_id: int = -1,
     pad_id: int = 0,
     cache_dtype=jnp.bfloat16,
+    prompt_lens: jnp.ndarray | None = None,
 ):
-    """prompt [B, P] int32 (all rows full length) → (tokens [B, max_new_tokens], stats).
+    """prompt [B, P] int32 → (tokens [B, max_new_tokens], stats). ``prompt_lens`` [B]
+    enables ragged rows (right-padded to P, per-row real lengths — the serving
+    coalescer's batch shape); without it all rows are full length.
 
     temperature == 0: greedy — the output is the target's own greedy trajectory,
     exactly ``generate(..., temperature=0)`` in the f32 CPU tests. (On TPU bf16 a
@@ -204,15 +222,17 @@ def generate_speculative(
         key = jax.random.PRNGKey(0)
     key, first_key = jax.random.split(key)
 
-    t_cache, first_logits, _ = _prefill(params, config, prompt, cache_dtype)
-    d_cache, _, _ = _prefill(draft_params, draft_config, prompt, cache_dtype)
+    t_cache, first_logits, t_pos = _prefill(params, config, prompt, cache_dtype, prompt_lens)
+    d_cache, _, d_pos = _prefill(draft_params, draft_config, prompt, cache_dtype, prompt_lens)
     first = sample_logits(first_key, first_logits, temperature, top_k, top_p, min_p)  # [B]
-    t_pos = jnp.full((B,), P, jnp.int32)
-    d_pos = jnp.full((B,), P, jnp.int32)
 
     buf = jnp.full((B, max_new_tokens + gamma + 1), pad_id, jnp.int32)
     buf = buf.at[:, 0].set(first)
-    prev0 = prompt[:, -1]  # the token before `first` in each row
+    if prompt_lens is None:
+        prev0 = prompt[:, -1]  # the token before `first` in each row
+    else:
+        lens = jnp.broadcast_to(prompt_lens.astype(jnp.int32).reshape(-1), (B,))
+        prev0 = jnp.take_along_axis(prompt, (lens - 1)[:, None], axis=1)[:, 0]
     # carry: (t_cache, d_cache, prev, cur, t_pos, d_pos, buf, n_out, done, rounds, key)
     init = (t_cache, d_cache, prev0, first, t_pos, d_pos, buf,
             jnp.ones((B,), jnp.int32), first == eos_id, jnp.asarray(0, jnp.int32), key)

@@ -1,19 +1,133 @@
 """tools/serve_http.py: the HTTP serving front-end must answer /health and
 /v1/completions (single + ragged-batch prompts) through the production generate()
-path, against a real training-run checkpoint."""
+path, against a real training-run checkpoint; the Engine's coalescing queue must
+batch concurrent requests, keep compiled shapes bucketed, report finish_reason
+faithfully, and serve speculatively when a draft is loaded."""
 
 import json
 import os
 import signal
 import subprocess
 import sys
+import threading
 import time
 import urllib.request
 from pathlib import Path
 
 import pytest
 
-RUN_DIR = Path(__file__).resolve().parent.parent / "runs/metamathqa/run_20260816_204350"
+REPO = Path(__file__).resolve().parent.parent
+RUN_DIR = REPO / "runs/metamathqa/run_20260816_204350"
+sys.path.insert(0, str(REPO / "tools"))
+
+
+def _tiny_engine(monkeypatch=None, draft=False, extra_args=(), vocab=512):
+    import jax
+    import jax.numpy as jnp
+
+    from llama_x_tpu.models import llama
+    from serve_http import Engine, build_parser
+
+    config = llama.tiny_config(max_seq_len=128, vocab_size=vocab, attn_impl="xla")
+    params = llama.init(jax.random.PRNGKey(0), config, dtype=jnp.float32)
+    args = build_parser().parse_args([
+        "--model", "unused", "--tokenizer", "byte",
+        "--prompt_multiple", "16", "--tokens_multiple", "8",
+        "--batch_window_ms", "300", *extra_args,
+    ])
+    pre_draft = None
+    if draft:
+        dconfig = llama.tiny_config(max_seq_len=128, vocab_size=vocab, num_layers=1,
+                                    embed_dim=32, num_heads=2, num_kv_heads=2,
+                                    head_dim=16, intermediate_dim=64, attn_impl="xla")
+        dparams = llama.init(jax.random.PRNGKey(1), dconfig, dtype=jnp.float32)
+        pre_draft = (dparams, dconfig)
+    return Engine(args, _preloaded=(params, config), _preloaded_draft=pre_draft)
+
+
+def test_engine_coalesces_concurrent_requests():
+    """Two requests arriving within the batching window must share ONE generate()
+    call (one compiled ragged batch) and each get its own rows back."""
+    eng = _tiny_engine()
+    results = {}
+
+    def go(name, prompt, mt):
+        results[name] = eng.complete([prompt], max_tokens=mt, temperature=0.0,
+                                     top_k=0, top_p=1.0, min_p=0.0)
+
+    t1 = threading.Thread(target=go, args=("a", "hello", 6))
+    t2 = threading.Thread(target=go, args=("b", "a much longer prompt", 6))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert eng.generate_calls == 1, "concurrent requests must coalesce into one batch"
+    assert len(results["a"][0]) == 1 and len(results["b"][0]) == 1
+    # row identity: coalesced output must equal a solo run of the same prompt (greedy)
+    solo = eng.complete(["hello"], max_tokens=6, temperature=0.0, top_k=0, top_p=1.0)
+    assert solo[0] == results["a"][0]
+
+
+def test_engine_buckets_compiled_shapes():
+    """Different prompt lengths / max_tokens inside a bucket must produce IDENTICAL
+    compiled shapes (prompt_multiple / tokens_multiple / pow2 batch)."""
+    import importlib
+
+    gen_mod = importlib.import_module("llama_x_tpu.models.generate")
+    eng = _tiny_engine()
+    shapes = []
+    orig = gen_mod.generate
+
+    def spy(params, config, prompt, **kw):
+        shapes.append((prompt.shape, kw["max_new_tokens"]))
+        return orig(params, config, prompt, **kw)
+
+    gen_mod.generate = spy
+    try:
+        eng.complete(["hi"], max_tokens=3, temperature=0.0, top_k=0, top_p=1.0)
+        eng.complete(["a longer one"], max_tokens=7, temperature=0.0, top_k=0, top_p=1.0)
+    finally:
+        gen_mod.generate = orig
+    assert shapes[0] == shapes[1], shapes
+
+
+def test_engine_finish_reason():
+    """'stop' iff the model emitted eos inside the requested window; 'length'
+    otherwise — including completions that emitted tokens (the round-3 inversion)."""
+    import importlib
+
+    import numpy as np
+
+    gen_mod = importlib.import_module("llama_x_tpu.models.generate")
+    eng = _tiny_engine()
+    eos = eng.tok.eos_id
+    orig = gen_mod.generate
+
+    def fake(params, config, prompt, *, max_new_tokens, **kw):
+        out = np.full((prompt.shape[0], max_new_tokens), 65, np.int32)
+        out[0, 2] = eos  # row 0 stops at its 3rd token
+        out[0, 3:] = eng.tok.pad_id
+        return out
+
+    gen_mod.generate = fake
+    try:
+        texts, counts, reasons = eng.complete(
+            ["stops early", "runs to length"], max_tokens=6,
+            temperature=0.0, top_k=0, top_p=1.0,
+        )
+    finally:
+        gen_mod.generate = orig
+    assert reasons == ["stop", "length"], reasons
+    assert counts[0] == 2 and counts[1] == 6
+
+
+def test_engine_speculative_serving_matches_plain():
+    """--draft serving: greedy speculative output through the Engine equals the plain
+    Engine's greedy output (speculative preserves the target's trajectory)."""
+    plain = _tiny_engine()
+    spec = _tiny_engine(draft=True, extra_args=("--gamma", "3"))
+    assert spec.draft_params is not None
+    p = ["speculative decoding"]
+    want = plain.complete(p, max_tokens=10, temperature=0.0, top_k=0, top_p=1.0)
+    got = spec.complete(p, max_tokens=10, temperature=0.0, top_k=0, top_p=1.0)
+    assert got[0] == want[0], (got[0], want[0])
 
 
 @pytest.mark.skipif(not RUN_DIR.exists(), reason="checkpoint run dir not present")

@@ -95,6 +95,34 @@ def test_batched_speculative_matches_target_greedy():
     assert stats["tokens_emitted"].shape == (3,)
 
 
+def test_ragged_speculative_matches_per_row():
+    """Ragged rows (prompt_lens): each row of a mixed-length batch must equal its own
+    unbatched speculative run (which itself equals target greedy) — the serving
+    coalescer's batch shape."""
+    config, params, draft_config, draft_params = _models()
+    rng = np.random.default_rng(11)
+    lens = [5, 9, 3]
+    P = max(lens)
+    rows = [rng.integers(1, config.vocab_size, (n,)) for n in lens]
+    padded = np.zeros((3, P), np.int32)
+    for i, r in enumerate(rows):
+        padded[i, : len(r)] = r
+
+    got, stats = generate_speculative(
+        params, config, draft_params, draft_config, jnp.asarray(padded),
+        max_new_tokens=16, gamma=3, cache_dtype=jnp.float32,
+        prompt_lens=jnp.asarray(lens, jnp.int32),
+    )
+    for i, r in enumerate(rows):
+        want, _ = generate_speculative(
+            params, config, draft_params, draft_config,
+            jnp.asarray(r, jnp.int32)[None, :],
+            max_new_tokens=16, gamma=3, cache_dtype=jnp.float32,
+        )
+        np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(want[0]), err_msg=f"row {i}")
+    assert stats["tokens_emitted"].shape == (3,)
+
+
 def test_batched_speculative_per_row_eos():
     """One row hits eos early and freezes (padded tail) while the others keep
     decoding to full length — exactly generate()'s per-row eos contract."""

@@ -11,12 +11,14 @@ int8 KV cache) already lives in the compiled generate() path:
   `stop` (string or list) truncates each completion at the first stop sequence
   (host-side text trim after the compiled generate).
 - int8 weights serve directly from a QLoRA run dir (--resume), int8 KV cache via
-  --kv_dtype int8 — same flags as tools/generate_cli.py.
-- requests are served under a model lock (one TPU program at a time); shape-identical
-  requests reuse the compiled executable, so steady-state latency is device-bound.
-  max_tokens is rounded UP to --tokens_multiple (default 32) before compilation and
-  the output truncated, so arbitrary max_tokens values hit a handful of cached
-  executables instead of compiling per request.
+  --kv_dtype int8, speculative decoding via --draft_resume/--gamma (the draft
+  proposes, the target verifies — same output law, fewer target passes).
+- CONCURRENT requests COALESCE: a worker thread drains the queue and runs every
+  same-sampling-signature request in one ragged generate() batch (per-request rows
+  split back afterwards). Compiled-shape churn is bounded on all three axes:
+  max_tokens rounds up to --tokens_multiple, prompt length to --prompt_multiple,
+  and batch size to the next power of two — arbitrary request mixes hit a small
+  grid of cached executables instead of compiling per shape.
 
 The reference has no serving surface at all (SURVEY.md §3); this is the thin
 production wrapper over the framework's decode stack.
@@ -41,10 +43,27 @@ def next_multiple(x: int, n: int) -> int:
     return (x + n - 1) // n * n
 
 
-class Engine:
-    """Model + tokenizer + the compiled-path call. One lock: one device program."""
+def next_pow2(x: int) -> int:
+    return 1 << (x - 1).bit_length()
 
-    def __init__(self, args):
+
+class _Request:
+    """One client request inside the coalescing queue."""
+
+    def __init__(self, rows, max_tokens, sig):
+        self.rows = rows  # list of token-id lists
+        self.max_tokens = max_tokens
+        self.sig = sig  # (temperature, top_k, top_p, min_p) — batchable iff equal
+        self.event = threading.Event()
+        self.texts = self.counts = self.reasons = None
+        self.error = None
+
+
+class Engine:
+    """Model + tokenizer + a coalescing worker: one device program at a time, shared
+    by every queued request with the same sampling signature."""
+
+    def __init__(self, args, _preloaded=None, _preloaded_draft=None):
         import jax
         import jax.numpy as jnp
 
@@ -54,13 +73,32 @@ class Engine:
         self.jnp = jnp
         self.jax = jax
         self.tok = get_tokenizer(args.tokenizer, args.tokenizer_path)
-        self.params, self.config = self._load(args)
+        if _preloaded is not None:  # test hook: inject params/config directly
+            self.params, self.config = _preloaded
+        else:
+            self.params, self.config = self._load_one(args, args.resume, args.model)
+        self.draft_params = self.draft_config = None
+        if _preloaded_draft is not None:
+            self.draft_params, self.draft_config = _preloaded_draft
+        elif getattr(args, "draft_resume", None) or getattr(args, "draft_model", None):
+            self.draft_params, self.draft_config = self._load_one(
+                args, getattr(args, "draft_resume", None), getattr(args, "draft_model", None)
+            )
+            assert self.draft_config.vocab_size == self.config.vocab_size, (
+                "draft and target must share the tokenizer/vocab"
+            )
+        self.gamma = getattr(args, "gamma", 4)
         self.cache_dtype = jnp.int8 if args.kv_dtype == "int8" else jnp.bfloat16
-        self.lock = threading.Lock()
         self.seed = args.seed
+        self.generate_calls = 0  # observability: compiled-batch invocations
+
+        self._queue: list[_Request] = []
+        self._cond = threading.Condition()
+        self._worker = threading.Thread(target=self._run_worker, daemon=True)
+        self._worker.start()
 
     @staticmethod
-    def _load(args):
+    def _load_one(args, resume, model_id):
         from pathlib import Path
 
         import jax
@@ -68,11 +106,11 @@ class Engine:
 
         from llama_x_tpu.models import llama
 
-        if args.resume:
+        if resume:
             from llama_x_tpu.train.checkpoint import latest_checkpoint, restore_params
             from llama_x_tpu.train.cli import load_model_configs
 
-            run_dir = Path(args.resume)
+            run_dir = Path(resume)
             path = latest_checkpoint(run_dir) or run_dir
             saved = load_model_configs(run_dir) or load_model_configs(run_dir.parent)
             assert saved is not None, f"no model_config.json found near {run_dir}"
@@ -83,49 +121,115 @@ class Engine:
                 params.pop(stem, None)
             print(f"serving step-{step} params from {path}", file=sys.stderr)
         else:
-            model = llama.Llama.from_hf(args.model, dtype=jnp.bfloat16)
+            model = llama.Llama.from_hf(model_id, dtype=jnp.bfloat16)
             params, config = model.params, model.config
         if args.max_seq_len:
             config = config.replace(max_seq_len=args.max_seq_len)
         return params, config
 
+    # ---- client side -----------------------------------------------------------
+
     def complete(self, prompts: list[str], max_tokens: int, temperature: float,
                  top_k: int, top_p: float, min_p: float = 0.0):
+        """Tokenize, enqueue, block until the coalescing worker answers.
+        -> (texts, counts, reasons) per row; reasons is 'stop' (hit eos) or 'length'."""
+        rows = [self.tok(p, add_bos=True) for p in prompts]
+        longest = max(len(r) for r in rows)
+        if longest >= self.config.max_seq_len:
+            raise ValueError(
+                f"longest prompt ({longest} tokens) fills the {self.config.max_seq_len} cache"
+            )
+        req = _Request(rows, max_tokens, (temperature, top_k, top_p, min_p))
+        with self._cond:
+            self._queue.append(req)
+            self._cond.notify()
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        return req.texts, req.counts, req.reasons
+
+    # ---- worker side -----------------------------------------------------------
+
+    def _run_worker(self):
+        while True:
+            with self._cond:
+                while not self._queue:
+                    self._cond.wait()
+            # brief window so bursts arriving together coalesce into one batch
+            if self.args.batch_window_ms:
+                time.sleep(self.args.batch_window_ms / 1e3)
+            with self._cond:
+                sig = self._queue[0].sig
+                group = [r for r in self._queue if r.sig == sig]
+                self._queue = [r for r in self._queue if r.sig != sig]
+            try:
+                self._run_batch(group, sig)
+            except Exception as e:  # noqa: BLE001 — deliver to every waiter
+                for r in group:
+                    r.error = e
+            finally:
+                for r in group:
+                    r.event.set()
+
+    def _run_batch(self, group: list[_Request], sig):
         import numpy as np
 
         from llama_x_tpu.models.generate import generate
+        from llama_x_tpu.models.speculative import generate_speculative
 
         jnp = self.jnp
-        rows = [self.tok(p, add_bos=True) for p in prompts]
-        P = max(len(r) for r in rows)
-        budget = self.config.max_seq_len - P
-        if budget <= 0:
-            raise ValueError(f"longest prompt ({P} tokens) fills the {self.config.max_seq_len} cache")
-        # round the compiled length up to a multiple so arbitrary max_tokens values
-        # share executables; truncate the result back down
-        n_new = min(next_multiple(max_tokens, self.args.tokens_multiple), budget)
-        padded = np.full((len(rows), P), self.tok.pad_id, np.int32)
-        for i, r in enumerate(rows):
-            padded[i, : len(r)] = r
-        lens = jnp.asarray([len(r) for r in rows], jnp.int32)
+        temperature, top_k, top_p, min_p = sig
+        rows = [r for req in group for r in req.rows]
+        speculative = self.draft_params is not None
 
-        with self.lock:
-            self.seed += 1
-            out = generate(
-                self.params, self.config, jnp.asarray(padded), max_new_tokens=n_new,
-                key=self.jax.random.PRNGKey(self.seed), temperature=temperature,
-                top_k=top_k, top_p=top_p, min_p=min_p,
-                eos_id=self.tok.eos_id, pad_id=self.tok.pad_id,
-                prompt_lens=lens if len(rows) > 1 else None,
-                cache_dtype=self.cache_dtype,
+        # shape bucketing: prompt length, generated length, and batch size all round
+        # up so arbitrary request mixes reuse a small executable grid
+        P = next_multiple(max(len(r) for r in rows), self.args.prompt_multiple)
+        spec_slack = (self.gamma + 1) if speculative else 0
+        P = min(P, self.config.max_seq_len - spec_slack - 1)
+        budget = self.config.max_seq_len - P - spec_slack
+        if speculative:  # the draft's cache must hold P + n_new + gamma too
+            budget = min(budget, self.draft_config.max_seq_len - P - self.gamma)
+        assert budget >= 1, f"prompts of length {max(len(r) for r in rows)} leave no decode budget"
+        want_new = max(req.max_tokens for req in group)
+        n_new = min(next_multiple(want_new, self.args.tokens_multiple), budget)
+        B = next_pow2(len(rows))
+
+        padded = np.full((B, P), self.tok.pad_id, np.int32)
+        lens = np.ones((B,), np.int32)  # dummy rows: 1-token prompts, output discarded
+        padded[:, 0] = rows[0][0]
+        for i, r in enumerate(rows):
+            padded[i, : len(r)] = r[:P]
+            lens[i] = min(len(r), P)
+
+        self.seed += 1
+        self.generate_calls += 1
+        common = dict(
+            max_new_tokens=n_new, key=self.jax.random.PRNGKey(self.seed),
+            temperature=temperature, top_k=top_k, top_p=top_p, min_p=min_p,
+            eos_id=self.tok.eos_id, pad_id=self.tok.pad_id,
+            prompt_lens=jnp.asarray(lens), cache_dtype=self.cache_dtype,
+        )
+        if speculative:
+            out, _stats = generate_speculative(
+                self.params, self.config, self.draft_params, self.draft_config,
+                jnp.asarray(padded), gamma=self.gamma, **common,
             )
-            out = np.asarray(out)[:, :max_tokens]
-        texts, counts = [], []
-        for row in out:
-            toks = [int(t) for t in row if t not in (self.tok.pad_id, self.tok.eos_id)]
-            texts.append(self.tok.decode(toks))
-            counts.append(len(toks))
-        return texts, counts
+        else:
+            out = generate(self.params, self.config, jnp.asarray(padded), **common)
+        out = np.asarray(out)
+
+        at = 0
+        for req in group:
+            texts, counts, reasons = [], [], []
+            for row in out[at : at + len(req.rows), : req.max_tokens]:
+                toks = [int(t) for t in row if t not in (self.tok.pad_id, self.tok.eos_id)]
+                texts.append(self.tok.decode(toks))
+                counts.append(len(toks))
+                # eos within the requested window -> the model stopped on its own
+                reasons.append("stop" if (row == self.tok.eos_id).any() else "length")
+            req.texts, req.counts, req.reasons = texts, counts, reasons
+            at += len(req.rows)
 
 
 def make_handler(engine: Engine):
@@ -143,7 +247,8 @@ def make_handler(engine: Engine):
 
         def do_GET(self):
             if self.path == "/health":
-                self._reply(200, {"status": "ok", "model": f"llama-x-tpu ({engine.config.num_layers}L)"})
+                self._reply(200, {"status": "ok", "model": f"llama-x-tpu ({engine.config.num_layers}L)",
+                                  "speculative": engine.draft_params is not None})
             else:
                 self._reply(404, {"error": "unknown path"})
 
@@ -161,7 +266,7 @@ def make_handler(engine: Engine):
                 stop = req.get("stop") or []
                 stop = [stop] if isinstance(stop, str) else list(stop)
                 t0 = time.perf_counter()
-                texts, counts = engine.complete(
+                texts, counts, reasons = engine.complete(
                     prompts * n if n > 1 else prompts,
                     max_tokens=int(req.get("max_tokens", 64)),
                     temperature=float(req.get("temperature", 0.0)),
@@ -170,17 +275,18 @@ def make_handler(engine: Engine):
                     min_p=float(req.get("min_p", 0.0)),
                 )
                 if stop:
-                    cut = []
-                    for t in texts:
+                    cut, creas = [], []
+                    for t, fr in zip(texts, reasons):
                         idxs = [t.index(sq) for sq in stop if sq in t]
                         cut.append(t[: min(idxs)] if idxs else t)
-                    texts = cut
+                        creas.append("stop" if idxs else fr)
+                    texts, reasons = cut, creas
                 dt = time.perf_counter() - t0
                 self._reply(200, {
                     "object": "text_completion",
                     "choices": [
-                        {"index": i, "text": t, "finish_reason": "length" if c else "stop"}
-                        for i, (t, c) in enumerate(zip(texts, counts))
+                        {"index": i, "text": t, "finish_reason": fr}
+                        for i, (t, fr) in enumerate(zip(texts, reasons))
                     ],
                     "usage": {"completion_tokens": sum(counts), "wall_seconds": round(dt, 3)},
                 })
@@ -190,20 +296,31 @@ def make_handler(engine: Engine):
     return Handler
 
 
-def main():
+def build_parser():
     parser = argparse.ArgumentParser()
     src = parser.add_mutually_exclusive_group(required=True)
     src.add_argument("--model", help="HF checkpoint dir or hub id")
     src.add_argument("--resume", help="training run dir (QLoRA int8/LoRA leaves serve as-is)")
+    parser.add_argument("--draft_resume", help="draft run dir: serve with speculative decoding")
+    parser.add_argument("--draft_model", help="draft HF checkpoint (alternative to --draft_resume)")
+    parser.add_argument("--gamma", type=int, default=4, help="draft tokens per verify pass")
     parser.add_argument("--tokenizer", default="llama3", choices=["llama2", "llama3", "byte"])
     parser.add_argument("--tokenizer_path")
     parser.add_argument("--max_seq_len", type=int, default=0)
     parser.add_argument("--kv_dtype", default="bf16", choices=["bf16", "int8"])
     parser.add_argument("--tokens_multiple", type=int, default=32,
                         help="compiled max_new_tokens granularity (executable-cache buckets)")
+    parser.add_argument("--prompt_multiple", type=int, default=64,
+                        help="compiled prompt-length granularity (executable-cache buckets)")
+    parser.add_argument("--batch_window_ms", type=int, default=5,
+                        help="coalescing window: how long the worker waits for more requests")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--seed", type=int, default=0)
-    args = parser.parse_args()
+    return parser
+
+
+def main():
+    args = build_parser().parse_args()
 
     from llama_x_tpu.utils.cache import enable_compilation_cache
     from llama_x_tpu.utils.platform import apply_platform_env
@@ -213,7 +330,8 @@ def main():
 
     engine = Engine(args)
     server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(engine))
-    print(f"serving on :{args.port} (POST /v1/completions)", file=sys.stderr, flush=True)
+    mode = f"speculative gamma={engine.gamma}" if engine.draft_params is not None else "plain"
+    print(f"serving on :{args.port} (POST /v1/completions, {mode})", file=sys.stderr, flush=True)
     server.serve_forever()
 
 
