@@ -64,6 +64,15 @@ def add_common_args(parser: argparse.ArgumentParser):
         "--synthetic", type=int, default=0,
         help="train on N synthetic samples with the byte tokenizer + a tiny random model (offline smoke)",
     )
+    parser.add_argument(
+        "--synthetic_task", default="random", choices=["random", "count"],
+        help="random: unlearnable smoke tokens; count: learnable counting sequences "
+        "(data/synthetic.py — the speculative draft/target pair trains on this)",
+    )
+    parser.add_argument(
+        "--synthetic_config", type=json.loads, default=dict(),
+        help='tiny_config geometry overrides for --synthetic, e.g. \'{"num_layers":8,"embed_dim":512}\'',
+    )
 
 
 def make_save_dir(task: str, run_name: str | None) -> Path:
@@ -164,9 +173,13 @@ def build_model_params(args, model_cls, mesh=None, init_kwargs=None, hf_kwargs=N
     )
 
     if args.synthetic:
-        config = llama_mod.tiny_config(
+        geo = dict(
             embed_dim=256, num_layers=4, head_dim=32, num_heads=8, num_kv_heads=4,
-            intermediate_dim=512, vocab_size=512, max_seq_len=extra_config.get("max_seq_len", 2048),
+            intermediate_dim=512, vocab_size=512,
+        )
+        geo.update(getattr(args, "synthetic_config", None) or {})
+        config = llama_mod.tiny_config(
+            **geo, max_seq_len=extra_config.get("max_seq_len", 2048),
         ).replace(**{k: v for k, v in config_overrides.items() if k != "max_seq_len"})
         model = model_cls.init(jax.random.PRNGKey(args.seed), config, dtype=jnp.bfloat16, **(init_kwargs or {}))
     else:

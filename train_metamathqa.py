@@ -64,11 +64,21 @@ def main():
 
     micro_bs = args.batch_size // args.gradient_accumulation
     if args.synthetic:
-        rng = np.random.default_rng(args.seed)
-        tokens_list = [
-            rng.integers(1, config.vocab_size, rng.integers(16, args.max_seq_len // 2)).astype(np.int32)
-            for _ in range(args.synthetic)
-        ]
+        if args.synthetic_task == "count":
+            # learnable counting sequences (deterministic continuations) — the
+            # trained speculative draft/target pair comes from this task
+            from llama_x_tpu.data.synthetic import counting_tokens
+            from llama_x_tpu.data.tokenizers import get_tokenizer
+
+            tokens_list = counting_tokens(
+                args.synthetic, args.seed, args.max_seq_len // 2, get_tokenizer("byte", None)
+            )
+        else:
+            rng = np.random.default_rng(args.seed)
+            tokens_list = [
+                rng.integers(1, config.vocab_size, rng.integers(16, args.max_seq_len // 2)).astype(np.int32)
+                for _ in range(args.synthetic)
+            ]
         data_iter, train_size = get_metamathqa(
             "byte", args.document_mask, micro_bs, args.max_seq_len, args.seq_len_multiple,
             tokens_list=tokens_list, seed=args.seed,
