@@ -45,7 +45,7 @@ from llama_x_tpu.train.wer import wer
 
 TEXT_LEN = 40  # bos + "magenta triangle magenta triangle" (33 bytes, the longest) + eos
 IMAGE_SIZE = 48
-PATCH_SIZE = 6  # 8x8 patches + 8 newline tokens = 72 image tokens
+PATCH_SIZE = 6  # 8x8 patches + 8 newline tokens = 72 image tokens (--patch_size sweeps this)
 
 
 def encode_text(tok: ByteTokenizer, text: str):
@@ -57,11 +57,11 @@ def encode_text(tok: ByteTokenizer, text: str):
     return tokens, labels
 
 
-def batches(rng, tok, batch_size):
+def batches(rng, tok, batch_size, image_size):
     while True:
         images, tokens, labels = [], [], []
         for _ in range(batch_size):
-            img, caption = make_shapes_sample(rng, IMAGE_SIZE, split="train")
+            img, caption = make_shapes_sample(rng, image_size, split="train")
             t, l = encode_text(tok, caption)
             images.append(img)
             tokens.append(t)
@@ -80,7 +80,7 @@ def eval_captions(params, config, vision_config, tok, rng, n_samples):
     refs, hyps = [], []
     embed_dtype = params["tok_embeddings"]["weight"].dtype
     for _ in range(n_samples):
-        img, caption = make_shapes_sample(rng, IMAGE_SIZE, split="eval")
+        img, caption = make_shapes_sample(rng, vision_config.image_size, split="eval")
         prefix = vision_mod.patch_embed(
             params["patch_embed"], vision_config, jnp.asarray(img[None]), dtype=embed_dtype
         )
@@ -104,6 +104,14 @@ def main():
     parser.add_argument("--eval_samples", type=int, default=32)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out_dir", default="runs/vision_synthetic")
+    # recipe knobs (the VERDICT-r3 sweep: patch size / lr / geometry)
+    parser.add_argument("--patch_size", type=int, default=PATCH_SIZE)
+    parser.add_argument("--image_size", type=int, default=IMAGE_SIZE)
+    parser.add_argument("--embed_dim", type=int, default=256)
+    parser.add_argument("--num_layers", type=int, default=4)
+    parser.add_argument("--weight_decay", type=float, default=0.01)
+    parser.add_argument("--no_newline", action="store_true", help="drop the Fuyu row-newline tokens")
+    parser.add_argument("--skip_save", action="store_true", help="sweep mode: no checkpoint round-trip")
     args = parser.parse_args()
 
     from llama_x_tpu.utils.platform import apply_platform_env
@@ -112,10 +120,13 @@ def main():
 
     tok = ByteTokenizer()
     config = llama.tiny_config(
-        embed_dim=256, num_layers=4, head_dim=32, num_heads=8, num_kv_heads=4,
-        intermediate_dim=768, vocab_size=tok.vocab_size + 5, max_seq_len=512,
+        embed_dim=args.embed_dim, num_layers=args.num_layers, head_dim=32,
+        num_heads=args.embed_dim // 32, num_kv_heads=args.embed_dim // 64,
+        intermediate_dim=3 * args.embed_dim, vocab_size=tok.vocab_size + 5, max_seq_len=512,
     )
-    vision_config = VisionConfig(image_size=IMAGE_SIZE, patch_size=PATCH_SIZE)
+    vision_config = VisionConfig(
+        image_size=args.image_size, patch_size=args.patch_size, use_newline=not args.no_newline
+    )
     model = LlamaVision.init(jax.random.PRNGKey(args.seed), config, vision_config, dtype=jnp.float32)
     params = model.params
     mask = trainable_mask(params)
@@ -130,7 +141,7 @@ def main():
 
     # decay phase sharpens eval generalization measurably on this task (constant-lr
     # runs plateau at ~2x the WER)
-    tx = get_optimizer("AdamW", trapezoid_schedule(args.lr, args.steps, 0.05, 0.4), weight_decay=0.01)
+    tx = get_optimizer("AdamW", trapezoid_schedule(args.lr, args.steps, 0.05, 0.4), weight_decay=args.weight_decay)
     state = init_train_state(params, mask, tx)
     step_fn = jax.jit(make_train_step(loss_fn, tx), donate_argnums=(0,))
 
@@ -138,7 +149,7 @@ def main():
     exact_init, wer_init, _, _ = eval_captions(params, config, vision_config, tok, eval_rng, args.eval_samples)
     print(f"before training: exact_match {exact_init:.3f}  wer {wer_init:.3f}")
 
-    data = batches(np.random.default_rng(args.seed), tok, args.batch_size)
+    data = batches(np.random.default_rng(args.seed), tok, args.batch_size, args.image_size)
     t0 = time.perf_counter()
     losses = []
     for step in range(args.steps):
@@ -151,16 +162,21 @@ def main():
 
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    stale = out_dir / f"step_{args.steps:08d}"
-    if stale.exists():  # rerun over an old artifact dir: orbax refuses to overwrite
-        import shutil
+    if args.skip_save:
+        from llama_x_tpu.train.trainer import full_params
 
-        shutil.rmtree(stale)
-    save_checkpoint(out_dir, state, args.steps)
+        restored = full_params(state)
+    else:
+        stale = out_dir / f"step_{args.steps:08d}"
+        if stale.exists():  # rerun over an old artifact dir: orbax refuses to overwrite
+            import shutil
 
-    # eval through the checkpoint-restore path (what eval_vision.py --resume does)
-    restored, _ = restore_params(out_dir / f"step_{args.steps:08d}")
-    restored = jax.tree.map(jnp.asarray, restored)
+            shutil.rmtree(stale)
+        save_checkpoint(out_dir, state, args.steps)
+
+        # eval through the checkpoint-restore path (what eval_vision.py --resume does)
+        restored, _ = restore_params(out_dir / f"step_{args.steps:08d}")
+        restored = jax.tree.map(jnp.asarray, restored)
     eval_rng = np.random.default_rng(args.seed + 10_000)
     exact_final, wer_final, refs, hyps = eval_captions(
         restored, config, vision_config, tok, eval_rng, args.eval_samples
@@ -180,7 +196,13 @@ def main():
         "final_loss": losses[-1],
         "train_seconds": round(train_s, 1),
         "n_eval_samples": args.eval_samples,
-        "restored_from_checkpoint": True,
+        "restored_from_checkpoint": not args.skip_save,
+        "recipe": {
+            "patch_size": args.patch_size, "image_size": args.image_size,
+            "embed_dim": args.embed_dim, "num_layers": args.num_layers,
+            "lr": args.lr, "weight_decay": args.weight_decay,
+            "newline": not args.no_newline, "batch_size": args.batch_size,
+        },
     }
     (out_dir / "accuracy.json").write_text(json.dumps(artifact, indent=1))
     print(json.dumps(artifact))
