@@ -52,6 +52,9 @@ def qlora_step_flops(config, text_len: int, n_lora: int) -> float:
 # dgrads through the frozen int8 base on the int8 MXU path (ops/int8.py
 # dynamic_int8_bwd); --no_int8_bwd reverts to bf16 dgrads for comparison
 INT8_BWD = True
+# remat policy for the 8B step; "flash_proj_q8" saves h1/h3 rowwise-int8 so the
+# backward never re-runs the w1/w3 F-wide GEMMs (models/llama.py feed_forward_q8)
+REMAT = "flash_proj"
 
 
 def build_8b_qlora():
@@ -64,7 +67,7 @@ def build_8b_qlora():
         embed_dim=4096, num_layers=32, head_dim=128, num_heads=32, num_kv_heads=8,
         intermediate_dim=14336, max_seq_len=4096, vocab_size=128_256,
         rope_base=500_000.0, is_llama3_1=True,
-        activation_checkpointing=True, remat_policy="flash_proj",
+        activation_checkpointing=True, remat_policy=REMAT,
         fused_ce_chunks=8, attn_impl="auto", dynamic_int8_act=True,
         dynamic_int8_bwd=INT8_BWD,
     )
@@ -170,7 +173,7 @@ def bench_8b():
                 "trainable_params": int(n_lora),
                 "frozen_params": int(n_frozen),
                 "model": "Llama-3.1-8B geometry, int8 base (dynamic-act Pallas GEMM) + LoRA, "
-                "40s-audio prefix-LM, flash_proj remat, fused CE, seq 4096, bf16",
+                f"40s-audio prefix-LM, {REMAT} remat, fused CE, seq 4096, bf16",
             }
         ),
         flush=True,
@@ -272,9 +275,12 @@ def main():
     parser.add_argument("--model", default="8b", choices=["8b", "1b"])
     parser.add_argument("--no_int8_bwd", action="store_true",
                         help="bf16 dgrads through the frozen base (pre-int8-bwd behavior)")
+    parser.add_argument("--remat", default=REMAT,
+                        help="remat policy for the 8B step (flash / flash_qkv / flash_proj / *_q8)")
     args = parser.parse_args()
-    global INT8_BWD
+    global INT8_BWD, REMAT
     INT8_BWD = not args.no_int8_bwd
+    REMAT = args.remat
 
     diag = {
         "metric": "mfu_8b_qlora_prefix_lm" if args.model == "8b" else "audio_text_tokens_per_sec_per_chip",

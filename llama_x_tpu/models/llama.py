@@ -71,7 +71,10 @@ class LlamaConfig:
     # the flash-attention outputs+lse so the backward never re-runs the fwd kernel;
     # "flash" saves ONLY the flash outputs+lse (~S*D bytes/layer) — the memory point
     # that fits 8B QLoRA at S=4096 on one 16 GB chip while still skipping the
-    # attention-forward recompute (the most expensive part of the backward re-run)
+    # attention-forward recompute (the most expensive part of the backward re-run).
+    # "flash_q8"/"flash_qkv_q8"/"flash_proj_q8": the base policy for the attention
+    # region + the MLP as feed_forward_q8 (h1/h3 saved rowwise-int8, so the backward
+    # never re-runs the w1/w3 F-wide GEMMs — see the q8 section below)
     remat_policy: str = "full"
 
     def replace(self, **kw) -> "LlamaConfig":
@@ -321,6 +324,103 @@ def feed_forward(p: Params, config: LlamaConfig, x: jnp.ndarray) -> jnp.ndarray:
     return checkpoint_name(apply_linear(h, p["w2"], dynamic_int8_act=d, dynamic_int8_bwd=db), "mlp_out")
 
 
+# ---------------------------------------------------------------------------
+# int8-residual feed-forward (the "*_q8" remat policies)
+#
+# Under "flash_proj" the backward still RE-RUNS the w1/w3 F-wide GEMMs every layer:
+# their outputs feed the SwiGLU derivative and at 8B/S=4096 are 7.5 GB in bf16 —
+# too big to save. Saved rowwise-int8 they are 1.9 GB, and the backward can compute
+# dSwiGLU from the dequantized values instead of recomputing two S x D x F GEMMs
+# per layer (~30 TFLOP/step of replay at 8B). The int8 roundtrip perturbs only the
+# BACKWARD's view of h1/h3 (forward output is computed from the exact values) —
+# the same error class as dynamic_int8_bwd, which runs/int8_bwd_quality bounds.
+#
+# Mechanically this cannot be a jax.checkpoint policy: policies pick which primal
+# intermediates to SAVE, they cannot re-encode them, and residuals produced inside
+# a custom_vjp fwd are invisible to save_only_these_names. So the feed-forward
+# becomes its own custom_vjp with int8 residuals, placed OUTSIDE the attention
+# checkpoint region by trunk() (see the _Q8_POLICIES branch).
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+
+def _silu_prime(h, sig):
+    # d/dh [h * sigmoid(h)] = sig * (1 + h * (1 - sig))
+    return sig * (1 + h * (1 - sig))
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def feed_forward_q8(config: LlamaConfig, p: Params, norm_scale: jnp.ndarray, h: jnp.ndarray):
+    """rms_norm + SwiGLU with int8-rowwise backward residuals (h1/h3 saved as int8).
+
+    Takes the PRE-norm residual stream h and folds the ffn_norm inside so the only
+    full-width residuals are h itself plus the two int8 tensors; the norm recomputes
+    in the backward (VPU-cheap)."""
+    x = rms_norm(h, norm_scale, config.norm_eps)
+    d, db = config.dynamic_int8_act, config.dynamic_int8_bwd
+    h1 = apply_linear(x, p["w1"], dynamic_int8_act=d, dynamic_int8_bwd=db)
+    h3 = apply_linear(x, p["w3"], dynamic_int8_act=d, dynamic_int8_bwd=db)
+    return apply_linear(jax.nn.silu(h1) * h3, p["w2"], dynamic_int8_act=d, dynamic_int8_bwd=db)
+
+
+def _ff_q8_fwd(config, p, norm_scale, h):
+    from llama_x_tpu.ops.int8 import quantize_int8_rowwise
+
+    x = rms_norm(h, norm_scale, config.norm_eps)
+    d, db = config.dynamic_int8_act, config.dynamic_int8_bwd
+    h1 = apply_linear(x, p["w1"], dynamic_int8_act=d, dynamic_int8_bwd=db)
+    h3 = apply_linear(x, p["w3"], dynamic_int8_act=d, dynamic_int8_bwd=db)
+    out = apply_linear(jax.nn.silu(h1) * h3, p["w2"], dynamic_int8_act=d, dynamic_int8_bwd=db)
+    F = h1.shape[-1]
+    q1, s1 = quantize_int8_rowwise(h1.reshape(-1, F))
+    q3, s3 = quantize_int8_rowwise(h3.reshape(-1, F))
+    return out, (p, norm_scale, h, q1, s1, q3, s3)
+
+
+def _ff_q8_bwd(config, res, g):
+    p, norm_scale, h, q1, s1, q3, s3 = res
+    d, db = config.dynamic_int8_act, config.dynamic_int8_bwd
+    lead, F = h.shape[:-1], q1.shape[-1]
+
+    def deq(q, s):
+        return (q.astype(jnp.float32) * s.astype(jnp.float32)[:, None]).astype(h.dtype).reshape(*lead, F)
+
+    h1, h3 = deq(q1, s1), deq(q3, s3)
+    sig = jax.nn.sigmoid(h1)
+    silu_h1 = h1 * sig
+    prod = silu_h1 * h3
+
+    def lin(pp, xx):
+        return apply_linear(xx, pp, dynamic_int8_act=d, dynamic_int8_bwd=db)
+
+    # jax.vjp re-traces each forward, but the GEMM outputs are unused and the int8
+    # custom_vjp keeps no output residuals, so XLA DCEs the replayed forwards — only
+    # the dgrads and LoRA grads materialize here.
+    _, vjp2 = jax.vjp(lin, p["w2"], prod)
+    dw2, dprod = vjp2(g)
+    dh1 = dprod * h3 * _silu_prime(h1, sig)
+    dh3 = dprod * silu_h1
+    _, vjp1 = jax.vjp(lin, p["w1"], x_ := rms_norm(h, norm_scale, config.norm_eps))
+    dw1, dx1 = vjp1(dh1)
+    _, vjp3 = jax.vjp(lin, p["w3"], x_)
+    dw3, dx3 = vjp3(dh3)
+    _, vjp_n = jax.vjp(lambda hh, sc: rms_norm(hh, sc, config.norm_eps), h, norm_scale)
+    dh, dscale = vjp_n(dx1 + dx3)
+    return {"w1": dw1, "w2": dw2, "w3": dw3}, dscale, dh
+
+
+feed_forward_q8.defvjp(_ff_q8_fwd, _ff_q8_bwd)
+
+# q8 remat policies: attention region keeps the mapped policy's saves; the MLP runs
+# outside the checkpoint as feed_forward_q8 (int8 residuals replace its recompute)
+_Q8_POLICIES = {
+    "flash_q8": "flash",
+    "flash_qkv_q8": "flash_qkv",
+    "flash_proj_q8": "flash_proj",  # mlp_out name never appears in the attn region
+}
+
+
 def block(
     p: Params,
     config: LlamaConfig,
@@ -368,6 +468,11 @@ def remat_policy(config: LlamaConfig):
         return jax.checkpoint_policies.save_only_these_names(
             "flash_residuals", "qkv_proj", "o_proj", "mlp_out"
         )
+    if config.remat_policy in _Q8_POLICIES:
+        # callers that wrap whole blocks (parallel/pipeline.py) get the mapped base
+        # policy; the q8 int8-residual MLP itself only engages through trunk()'s
+        # dedicated branch
+        return remat_policy(config.replace(remat_policy=_Q8_POLICIES[config.remat_policy]))
     return None
 
 
@@ -405,6 +510,30 @@ def trunk(
     )
 
     if kv_cache is None:
+        if config.activation_checkpointing and config.remat_policy in _Q8_POLICIES:
+            # q8 mode: checkpoint ONLY the attention half; the MLP runs outside the
+            # region as feed_forward_q8, whose int8 residuals are what get saved
+            # (inside a checkpoint region its residuals would be recomputed from
+            # scratch — w1/w3 GEMMs and all — which is exactly what q8 avoids)
+            attn_cfg = config.replace(remat_policy=_Q8_POLICIES[config.remat_policy])
+
+            def attn_part(p, carry, rng):
+                out, _ = attention(
+                    p["attention"], config,
+                    rms_norm(carry, p["attention_norm"]["scale"], config.norm_eps),
+                    rope, mask_info, dropout_rng=rng,
+                )
+                return carry + out
+
+            attn_part = jax.checkpoint(attn_part, prevent_cse=False, policy=remat_policy(attn_cfg))
+
+            def body(carry, scanned):
+                p, rng = scanned
+                h = attn_part(p, carry, rng)
+                return h + feed_forward_q8(config, p["feed_forward"], p["ffn_norm"]["scale"], h), None
+
+            x, _ = jax.lax.scan(body, x, (layer_params, layer_rngs))
+            return x, None
 
         def body(carry, scanned):
             p, rng = scanned

@@ -134,3 +134,68 @@ def test_decode_matches_full_forward():
         np.testing.assert_allclose(
             np.asarray(logits_t[:, 0]), np.asarray(full_logits[:, t]), rtol=2e-3, atol=2e-3
         )
+
+
+def test_q8_remat_forward_exact_and_grads_close():
+    """"flash_proj_q8" (int8-residual MLP outside the attention checkpoint region):
+    forward must be bit-identical to the plain path (the primal computes from exact
+    h1/h3); grads may differ only by the int8 roundtrip of h1/h3 in the backward —
+    bounded like the dynamic_int8_bwd noise (runs/int8_bwd_quality)."""
+    params, config = _make()
+    cfg_ref = config.replace(activation_checkpointing=True, remat_policy="flash_proj", attn_impl="xla")
+    cfg_q8 = cfg_ref.replace(remat_policy="flash_proj_q8")
+    rng = np.random.default_rng(6)
+    tokens = jnp.asarray(rng.integers(0, config.vocab_size, (2, 16)).astype(np.int32))
+    labels = jnp.asarray(rng.integers(0, config.vocab_size, (2, 16)).astype(np.int64))
+
+    def loss_fn(p, cfg):
+        return llama.forward(p, cfg, tokens, labels=labels)
+
+    l_ref, g_ref = jax.value_and_grad(loss_fn)(params, cfg_ref)
+    l_q8, g_q8 = jax.value_and_grad(loss_fn)(params, cfg_q8)
+    # primal path: identical math, identical result
+    np.testing.assert_allclose(float(l_ref), float(l_q8), rtol=1e-6)
+    for (n1, a), (n2, b) in zip(named_leaves(g_ref), named_leaves(g_q8)):
+        assert n1 == n2
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        denom = np.abs(a).max() + 1e-30
+        # int8 rowwise roundtrip on h1/h3: per-element ~0.4% of rowmax; allow 3%
+        # of the per-tensor grad max after propagation through the trunk
+        np.testing.assert_allclose(b / denom, a / denom, atol=0.03, err_msg=n1)
+
+
+def test_q8_remat_qlora_trains():
+    """q8 remat composes with the bench stack (int8 frozen base + LoRA + int8 dgrads):
+    the train step runs and only LoRA leaves receive gradients."""
+    from llama_x_tpu.adapters import apply_linear_adapter, quantize_linear, trainable_mask
+
+    config = llama.tiny_config(
+        activation_checkpointing=True, remat_policy="flash_proj_q8", attn_impl="xla",
+        dynamic_int8_act=True, dynamic_int8_bwd=True,
+    )
+    params = llama.init(jax.random.PRNGKey(0), config, dtype=jnp.float32)
+    layers = quantize_linear(params["layers"], "int8")
+    params = dict(params, layers=apply_linear_adapter(layers, "lora", jax.random.PRNGKey(1)))
+    mask = trainable_mask(params)
+
+    rng = np.random.default_rng(7)
+    # [accum=1, B, S] — make_train_step scans the leading micro-batch axis
+    tokens = jnp.asarray(rng.integers(0, config.vocab_size, (1, 2, 16)).astype(np.int32))
+    labels = jnp.asarray(rng.integers(0, config.vocab_size, (1, 2, 16)).astype(np.int64))
+
+    from llama_x_tpu.train.optim import get_optimizer
+    from llama_x_tpu.train.trainer import init_train_state, make_train_step
+
+    def loss_fn(p, mb):
+        return llama.forward(p, config, mb["tokens"], labels=mb["labels"]), jnp.sum(mb["labels"] != -100)
+
+    tx = get_optimizer("AdamW", 1e-3)
+    state = init_train_state(params, mask, tx)
+    step = jax.jit(make_train_step(loss_fn, tx), donate_argnums=(0,))
+    batch = {"tokens": tokens, "labels": labels}
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # LoRA grads flow through the q8 backward

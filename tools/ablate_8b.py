@@ -74,6 +74,11 @@ VARIANTS = [
     ("remat=dots_flash", {"remat_policy": "dots_flash"}),
     ("remat=flash_qkv", {"remat_policy": "flash_qkv"}),
     ("remat=flash_proj", {"remat_policy": "flash_proj"}),
+    # int8-residual MLP (feed_forward_q8): backward never re-runs w1/w3; the three
+    # variants trade attention-region saves against the +1.9 GB q1/q3 residuals
+    ("remat=flash_q8", {"remat_policy": "flash_q8"}),
+    ("remat=flash_qkv_q8", {"remat_policy": "flash_qkv_q8"}),
+    ("remat=flash_proj_q8", {"remat_policy": "flash_proj_q8"}),
 ]
 
 
