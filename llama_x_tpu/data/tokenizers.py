@@ -99,6 +99,9 @@ class Llama3Tokenizer:
     bos_id = 128_000
     eos_id = 128_001
     pad_id = 128_004  # <|finetune_right_pad_id|>
+    start_header_id = 128_006
+    end_header_id = 128_007
+    eot_id = 128_009  # end-of-turn: the chat-format stop token
 
     def __init__(self, model_path: str | None = None):
         import tiktoken
@@ -116,8 +119,25 @@ class Llama3Tokenizer:
                 "<|begin_of_text|>": self.bos_id,
                 "<|end_of_text|>": self.eos_id,
                 "<|finetune_right_pad_id|>": self.pad_id,
+                "<|start_header_id|>": self.start_header_id,
+                "<|end_header_id|>": self.end_header_id,
+                "<|eot_id|>": self.eot_id,
             },
         )
+
+    def apply_chat_template(self, messages, add_generation_prompt: bool = True) -> list[int]:
+        """The Llama-3 instruct chat format (public Meta spec): per message
+        ``<|start_header_id|>role<|end_header_id|>\\n\\n{content}<|eot_id|>``, opened by
+        bos and (for generation) closed with an empty assistant header. Generation
+        should stop on ``eot_id``."""
+        ids = [self.bos_id]
+        for m in messages:
+            ids += [self.start_header_id, *self.enc.encode(m["role"]), self.end_header_id]
+            ids += self.enc.encode("\n\n" + m["content"].strip()) + [self.eot_id]
+        if add_generation_prompt:
+            ids += [self.start_header_id, *self.enc.encode("assistant"), self.end_header_id]
+            ids += self.enc.encode("\n\n")
+        return ids
 
     def __call__(self, text: str, add_bos: bool = False, add_eos: bool = False) -> list[int]:
         tokens = self.enc.encode(text, disallowed_special=())

@@ -181,3 +181,169 @@ def generate(
     else:
         out = first[:, None]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Chunked decoding: the same decode law as generate(), split into resumable
+# compiled pieces so a host loop can (a) STREAM tokens as they appear and
+# (b) STOP EARLY once every row hit eos / a stop sequence — generate() is one
+# fused program that always pays all max_new_tokens steps. Token-for-token
+# parity with generate() is pinned by tests: prefill_start consumes the same
+# first key, and the caller feeds the same split-upfront key schedule into
+# decode_chunk slices.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config", "temperature", "top_k", "top_p", "min_p", "eos_id", "cache_dtype", "prefix_lm"
+    ),
+)
+def prefill_start(
+    params: dict[str, Any],
+    config: llama.LlamaConfig,
+    prompt: jnp.ndarray,
+    *,
+    key: jax.Array,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    min_p: float = 0.0,
+    eos_id: int = -1,
+    cache_dtype=jnp.bfloat16,
+    prefix_embeds: jnp.ndarray | None = None,
+    prefix_lm: bool = False,
+    prompt_lens: jnp.ndarray | None = None,
+):
+    """Prefill + sample the first token. -> (first [B], decode state).
+
+    The state pytree is (kv_cache, last_token [B], pos, done [B]); ``pos`` is a
+    scalar for uniform batches or [B] for ragged ones (``prompt_lens`` given) —
+    pass it straight to decode_chunk, whose donated buffers make the host loop
+    allocation-free between chunks. ``key`` here must be the FIRST of the
+    split-upfront schedule (see generate_stream) for parity with generate()."""
+    B, P = prompt.shape
+    x = jnp.take(params["tok_embeddings"]["weight"], prompt, axis=0)
+    n_prefix = 0
+    if prefix_embeds is not None:
+        assert prompt_lens is None, "ragged prompts + modality prefixes not supported"
+        n_prefix = prefix_embeds.shape[1]
+        x = jnp.concatenate([prefix_embeds.astype(x.dtype), x], axis=1)
+    total_p = n_prefix + P
+
+    kv_cache = llama.init_kv_cache(config, B, dtype=cache_dtype)
+    pos = jnp.arange(total_p, dtype=jnp.int32)
+    mask = MaskInfo(
+        causal=True,
+        prefix_len=jnp.full((B,), n_prefix, jnp.int32) if (prefix_lm and n_prefix) else None,
+    )
+    h, kv_cache = llama.trunk(params, config, x, mask, kv_cache, input_pos=pos, prefill=True)
+    if prompt_lens is None:
+        h_last = h[:, -1:, :]
+        pos0 = jnp.asarray(total_p, jnp.int32)
+    else:
+        lens = jnp.broadcast_to(prompt_lens.astype(jnp.int32).reshape(-1), (B,))
+        h_last = jnp.take_along_axis(h, (lens - 1)[:, None, None], axis=1)
+        pos0 = lens
+    logits = llama.head(params, config, h_last)
+    first = sample_logits(key, logits[:, 0], temperature, top_k, top_p, min_p)
+    return first, (kv_cache, first, pos0, first == eos_id)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "temperature", "top_k", "top_p", "min_p", "eos_id", "pad_id"),
+    donate_argnums=(2,),
+)
+def decode_chunk(
+    params: dict[str, Any],
+    config: llama.LlamaConfig,
+    state,
+    keys: jnp.ndarray,
+    *,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    min_p: float = 0.0,
+    eos_id: int = -1,
+    pad_id: int = 0,
+):
+    """Run ``len(keys)`` decode steps from ``state``. -> (tokens [B, n], new state).
+
+    ``state`` is donated: the KV cache updates in place across chunks (the host
+    loop must drop its old reference, which the generate_stream generator does)."""
+    kv_cache, tok, pos, done = state
+    ragged = pos.ndim == 1
+
+    def step(carry, step_key):
+        kv_cache, tok, pos, done = carry
+        x = jnp.take(params["tok_embeddings"]["weight"], tok[:, None], axis=0)
+        if ragged:
+            mask = MaskInfo(causal=True, q_positions=pos[:, None], kv_len=pos + 1)
+            input_pos = pos[:, None]
+        else:
+            mask = MaskInfo(causal=True, q_positions=pos[None, None], kv_len=pos[None] + 1)
+            input_pos = pos[None]
+        h, kv_cache = llama.trunk(params, config, x, mask, kv_cache, input_pos=input_pos)
+        logits = llama.head(params, config, h)
+        nxt = sample_logits(step_key, logits[:, 0], temperature, top_k, top_p, min_p)
+        nxt = jnp.where(done, pad_id, nxt)
+        done = done | (nxt == eos_id)
+        return (kv_cache, nxt, pos + 1, done), nxt
+
+    state, toks = jax.lax.scan(step, (kv_cache, tok, pos, done), keys)
+    return toks.T, state
+
+
+def generate_stream(
+    params: dict[str, Any],
+    config: llama.LlamaConfig,
+    prompt: jnp.ndarray,
+    *,
+    max_new_tokens: int,
+    chunk_size: int = 16,
+    key: jax.Array | None = None,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    min_p: float = 0.0,
+    eos_id: int = -1,
+    pad_id: int = 0,
+    cache_dtype=jnp.bfloat16,
+    prefix_embeds: jnp.ndarray | None = None,
+    prefix_lm: bool = False,
+    prompt_lens: jnp.ndarray | None = None,
+):
+    """Yield token blocks [B, <=chunk_size] as they decode; early-exits once every
+    row is done. ``concatenate(blocks)[:, :max_new_tokens]`` equals generate() with
+    the same arguments up to the position where all rows finished (beyond it
+    generate() also only emits pad_id) — the key schedule is identical by
+    construction. Last chunk may be short; chunks after all-done are not run."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    key_first, key_rest = jax.random.split(key)
+    sample_kw = dict(temperature=temperature, top_k=top_k, top_p=top_p, min_p=min_p)
+
+    first, state = prefill_start(
+        params, config, prompt, key=key_first, eos_id=eos_id, cache_dtype=cache_dtype,
+        prefix_embeds=prefix_embeds, prefix_lm=prefix_lm, prompt_lens=prompt_lens,
+        **sample_kw,
+    )
+    yield first[:, None]
+    import numpy as np
+
+    if max_new_tokens <= 1:
+        return
+    keys = jax.random.split(key_rest, max_new_tokens)[:-1]  # generate()'s schedule
+    at = 0
+    while at < len(keys):
+        if bool(np.asarray(state[3]).all()):  # every row finished — skip the rest
+            return
+        n = min(chunk_size, len(keys) - at)
+        toks, state = decode_chunk(
+            params, config, state, keys[at : at + n], eos_id=eos_id, pad_id=pad_id,
+            **sample_kw,
+        )
+        yield toks
+        at += n

@@ -152,3 +152,64 @@ def test_sample_logits_min_p():
     # min_p=0 is a no-op: the tail token stays reachable at high temperature
     toks = {int(sample_logits(jax.random.PRNGKey(i), logits, 5.0, 0, min_p=0.0)[0]) for i in range(64)}
     assert len(toks) >= 3
+
+
+def test_generate_stream_matches_generate():
+    """Chunked decode (prefill_start + decode_chunk) reuses generate()'s key schedule,
+    so concatenated stream blocks equal the one-shot program exactly — greedy and
+    sampled, uniform and ragged."""
+    from llama_x_tpu.models.generate import generate_stream
+
+    config = llama.tiny_config(max_seq_len=64)
+    params = llama.init(jax.random.PRNGKey(0), config, dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    prompt = jnp.asarray(rng.integers(0, config.vocab_size, (2, 8)), jnp.int32)
+
+    for kw in (
+        dict(temperature=0.0),
+        dict(temperature=0.9, top_k=8, top_p=0.9, key=jax.random.PRNGKey(7)),
+    ):
+        want = generate(params, config, prompt, max_new_tokens=13, cache_dtype=jnp.float32, **kw)
+        got = np.concatenate(list(generate_stream(
+            params, config, prompt, max_new_tokens=13, chunk_size=5,
+            cache_dtype=jnp.float32, **kw,
+        )), axis=1)
+        assert got.shape[1] == 13  # no eos configured: all chunks run
+        np.testing.assert_array_equal(got, np.asarray(want))
+
+
+def test_generate_stream_ragged_and_early_exit():
+    from llama_x_tpu.models.generate import generate_stream
+
+    config = llama.tiny_config(max_seq_len=64)
+    params = llama.init(jax.random.PRNGKey(0), config, dtype=jnp.float32)
+    rng = np.random.default_rng(6)
+    prompt = np.full((3, 10), 1, np.int32)
+    lens = [4, 10, 7]
+    for i, n in enumerate(lens):
+        prompt[i, :n] = rng.integers(0, config.vocab_size, n)
+    prompt = jnp.asarray(prompt)
+    prompt_lens = jnp.asarray(lens, jnp.int32)
+
+    want = generate(params, config, prompt, max_new_tokens=9, prompt_lens=prompt_lens,
+                    cache_dtype=jnp.float32)
+    got = np.concatenate(list(generate_stream(
+        params, config, prompt, max_new_tokens=9, chunk_size=4, prompt_lens=prompt_lens,
+        cache_dtype=jnp.float32,
+    )), axis=1)
+    np.testing.assert_array_equal(got, np.asarray(want))
+
+    # early exit: make every row's FIRST token the eos -> only the prefill block
+    # is yielded, no decode_chunk dispatch runs
+    firsts = np.asarray(want)[:, 0]
+    eos = int(firsts[0])
+    if (firsts == eos).all():  # only meaningful if rows agree; force via single row
+        pass
+    row = jnp.asarray(prompt[:1])
+    first = int(np.asarray(generate(params, config, row, max_new_tokens=1,
+                                    cache_dtype=jnp.float32))[0, 0])
+    blocks = list(generate_stream(
+        params, config, row, max_new_tokens=9, chunk_size=4, eos_id=first,
+        cache_dtype=jnp.float32,
+    ))
+    assert len(blocks) == 1 and blocks[0].shape == (1, 1)

@@ -71,7 +71,7 @@ def test_engine_buckets_compiled_shapes():
     import importlib
 
     gen_mod = importlib.import_module("llama_x_tpu.models.generate")
-    eng = _tiny_engine()
+    eng = _tiny_engine(extra_args=("--decode_chunk", "0"))  # spy targets generate()
     shapes = []
     orig = gen_mod.generate
 
@@ -96,7 +96,7 @@ def test_engine_finish_reason():
     import numpy as np
 
     gen_mod = importlib.import_module("llama_x_tpu.models.generate")
-    eng = _tiny_engine()
+    eng = _tiny_engine(extra_args=("--decode_chunk", "0"))  # spy targets generate()
     eos = eng.tok.eos_id
     orig = gen_mod.generate
 
@@ -130,6 +130,87 @@ def test_engine_speculative_serving_matches_plain():
     assert got[0] == want[0], (got[0], want[0])
 
 
+def test_engine_chunked_matches_oneshot():
+    """The default chunked decode path (early-exit + streaming capable) must produce
+    the same greedy text as the one-shot fused generate() path."""
+    oneshot = _tiny_engine(extra_args=("--decode_chunk", "0"))
+    chunked = _tiny_engine(extra_args=("--decode_chunk", "4"))
+    p = ["chunked decoding parity"]
+    want = oneshot.complete(p, max_tokens=11, temperature=0.0, top_k=0, top_p=1.0)
+    got = chunked.complete(p, max_tokens=11, temperature=0.0, top_k=0, top_p=1.0)
+    assert got[0] == want[0] and got[2] == want[2], (got, want)
+
+
+def test_engine_streaming_deltas_concatenate_to_final():
+    """submit(stream_q=...): per-chunk text deltas, a None sentinel, and the final
+    texts/reasons on the request; concatenated deltas == final text."""
+    import queue
+
+    eng = _tiny_engine(extra_args=("--decode_chunk", "3"))
+    q: queue.Queue = queue.Queue()
+    req = eng.submit([eng.tok("streaming test", add_bos=True)], max_tokens=10,
+                     temperature=0.0, top_k=0, top_p=1.0, stream_q=q)
+    pieces = []
+    while True:
+        deltas = q.get(timeout=120)
+        if deltas is None:
+            break
+        assert len(deltas) == 1
+        pieces.append(deltas[0])
+    req.event.wait()
+    assert req.error is None
+    assert len(pieces) >= 2, "chunk_size 3 over 10 tokens must yield several deltas"
+    assert "".join(pieces) == req.texts[0]
+    assert req.reasons[0] in ("stop", "length")
+
+
+def test_engine_chunked_early_exit_skips_decode_chunks():
+    """Once every row hits eos, remaining decode chunks must NOT run (the whole point
+    of chunked serving: max_tokens=64 with eos at token 2 stops paying for 64)."""
+    import importlib
+
+    gen_mod = importlib.import_module("llama_x_tpu.models.generate")
+    eng = _tiny_engine(extra_args=("--decode_chunk", "4", "--tokens_multiple", "64"))
+    # learn the first two greedy token ids, then declare the second one "eos"
+    text0 = eng.complete(["early exit"], max_tokens=2, temperature=0.0, top_k=0, top_p=1.0)[0][0]
+    eos_id = eng.tok(text0)[-1]
+
+    calls = []
+    orig = gen_mod.decode_chunk
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    gen_mod.decode_chunk = spy
+    try:
+        req = eng.submit([eng.tok("early exit", add_bos=True)], max_tokens=64,
+                         temperature=0.0, top_k=0, top_p=1.0, eos_id=eos_id)
+        req.event.wait()
+    finally:
+        gen_mod.decode_chunk = orig
+    assert req.error is None
+    assert req.reasons[0] == "stop"
+    # 64 tokens / chunk 4 = 16 chunks if it ran to length; eos at token 2 stops after 1
+    assert len(calls) <= 2, f"early exit failed: {len(calls)} chunks ran"
+
+
+def test_engine_chat_fallback_template_and_eos():
+    """Byte tokenizer: encode_chat builds the role-prefixed transcript and chat eos
+    falls back to the tokenizer eos."""
+    eng = _tiny_engine()
+    msgs = [{"role": "system", "content": "be brief"},
+            {"role": "user", "content": "hi"}]
+    ids = eng.encode_chat(msgs)
+    assert ids[0] == eng.tok.bos_id
+    assert eng.tok.decode(ids[1:]) == "system: be brief\nuser: hi\nassistant:"
+    assert eng.chat_eos_id == eng.tok.eos_id
+    req = eng.submit([ids], max_tokens=6, temperature=0.0, top_k=0, top_p=1.0,
+                     eos_id=eng.chat_eos_id)
+    req.event.wait()
+    assert req.error is None and isinstance(req.texts[0], str)
+
+
 @pytest.mark.skipif(not RUN_DIR.exists(), reason="checkpoint run dir not present")
 def test_serve_http_completions():
     port = 8123
@@ -156,9 +237,9 @@ def test_serve_http_completions():
             raise AssertionError("server never became healthy")
         assert health["status"] == "ok"
 
-        def post(payload):
+        def post(payload, path="/v1/completions"):
             req = urllib.request.Request(
-                f"{base}/v1/completions", json.dumps(payload).encode(),
+                f"{base}{path}", json.dumps(payload).encode(),
                 {"Content-Type": "application/json"},
             )
             try:
@@ -182,6 +263,27 @@ def test_serve_http_completions():
 
         err = post({"max_tokens": 4})
         assert "error" in err
+
+        chat = post({"messages": [{"role": "user", "content": "hello"}],
+                     "max_tokens": 6}, path="/v1/chat/completions")
+        assert chat["choices"][0]["message"]["role"] == "assistant"
+        assert chat["choices"][0]["finish_reason"] in ("stop", "length")
+
+        # SSE streaming: text/event-stream, delta events, [DONE] terminator
+        sreq = urllib.request.Request(
+            f"{base}/v1/completions",
+            json.dumps({"prompt": "2+2=", "max_tokens": 6, "stream": True}).encode(),
+            {"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(sreq, timeout=240) as resp:
+            assert resp.headers["Content-Type"].startswith("text/event-stream")
+            raw = resp.read().decode()
+        lines = [ln for ln in raw.splitlines() if ln.startswith("data: ")]
+        assert lines[-1] == "data: [DONE]"
+        events = [json.loads(ln[6:]) for ln in lines[:-1]]
+        streamed = "".join(c.get("text", "") for e in events for c in e.get("choices", []))
+        nonstream = post({"prompt": "2+2=", "max_tokens": 6})
+        assert streamed == nonstream["choices"][0]["text"]
     finally:
         proc.send_signal(signal.SIGTERM)
         proc.wait(timeout=10)

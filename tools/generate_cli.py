@@ -60,7 +60,13 @@ def main():
     parser.add_argument("--draft_model", help="HF dir of a draft model: speculative decoding (greedy or sampled)")
     parser.add_argument("--draft_resume", help="training run dir of a draft model")
     parser.add_argument("--gamma", type=int, default=4, help="speculative draft length per round")
+    parser.add_argument("--stream", action="store_true",
+                        help="print tokens as they decode (chunked resumable decode with "
+                        "early exit; not combinable with --batch/--draft)")
     args = parser.parse_args()
+    assert not (args.stream and (args.batch or args.draft_model or args.draft_resume)), (
+        "--stream is plain per-prompt decoding (not combinable with --batch or a draft)"
+    )
 
     from llama_x_tpu.utils.cache import enable_compilation_cache
     from llama_x_tpu.utils.platform import apply_platform_env
@@ -170,6 +176,23 @@ def main():
                 temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
                 min_p=args.min_p, eos_id=eos_id, pad_id=tok.pad_id, cache_dtype=cache_dtype,
             )
+        elif args.stream:
+            from llama_x_tpu.models.generate import generate_stream
+
+            print(prompt, end="", flush=True)
+            toks, text = [], ""
+            for block in generate_stream(
+                params, config, jnp.asarray([ids], jnp.int32),
+                max_new_tokens=n_new, key=sub,
+                temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
+                min_p=args.min_p, eos_id=eos_id, pad_id=tok.pad_id, cache_dtype=cache_dtype,
+            ):
+                toks += [int(t) for t in np.asarray(block)[0] if t not in (tok.pad_id, tok.eos_id)]
+                full = tok.decode(toks)
+                print(full[len(text):], end="", flush=True)
+                text = full
+            print(flush=True)
+            out = None
         else:
             out = generate(
                 params, config, jnp.asarray([ids], jnp.int32),
@@ -177,13 +200,17 @@ def main():
                 temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
                 min_p=args.min_p, eos_id=eos_id, pad_id=tok.pad_id, cache_dtype=cache_dtype,
             )
-        row = [int(t) for t in np.asarray(out)[0] if t not in (tok.pad_id, tok.eos_id)]
+        if out is None:  # --stream already printed incrementally
+            row = toks
+        else:
+            row = [int(t) for t in np.asarray(out)[0] if t not in (tok.pad_id, tok.eos_id)]
         dt = time.perf_counter() - t0
         spec = f", {int(stats['target_passes'])} target passes" if draft is not None else ""
         print(f"--- prompt {i}: {len(ids)} tok prompt + {len(row)} tok completion "
               f"({len(row) / dt:.1f} tok/s incl. prefill{' + compile' if i == 0 else ''}{spec}) ---",
               file=sys.stderr)
-        print(prompt + tok.decode(row))
+        if out is not None:  # --stream already printed incrementally
+            print(prompt + tok.decode(row))
 
 
 if __name__ == "__main__":

@@ -1,4 +1,5 @@
-"""Minimal HTTP serving front-end: OpenAI-style /v1/completions over generate().
+"""Minimal HTTP serving front-end: OpenAI-style /v1/completions + /v1/chat/completions
+(with SSE streaming) over generate().
 
 One process, one model, stdlib http.server — the deployment shape is "a chip behind
 an endpoint", and everything heavy (batching, sampling, speculative, int8 weights /
@@ -50,10 +51,11 @@ def next_pow2(x: int) -> int:
 class _Request:
     """One client request inside the coalescing queue."""
 
-    def __init__(self, rows, max_tokens, sig):
+    def __init__(self, rows, max_tokens, sig, stream_q=None):
         self.rows = rows  # list of token-id lists
         self.max_tokens = max_tokens
-        self.sig = sig  # (temperature, top_k, top_p, min_p) — batchable iff equal
+        self.sig = sig  # (temperature, top_k, top_p, min_p, eos_id) — batchable iff equal
+        self.stream_q = stream_q  # queue.Queue of per-row text deltas; None = one-shot
         self.event = threading.Event()
         self.texts = self.counts = self.reasons = None
         self.error = None
@@ -129,20 +131,46 @@ class Engine:
 
     # ---- client side -----------------------------------------------------------
 
-    def complete(self, prompts: list[str], max_tokens: int, temperature: float,
-                 top_k: int, top_p: float, min_p: float = 0.0):
-        """Tokenize, enqueue, block until the coalescing worker answers.
-        -> (texts, counts, reasons) per row; reasons is 'stop' (hit eos) or 'length'."""
-        rows = [self.tok(p, add_bos=True) for p in prompts]
+    def encode_chat(self, messages) -> list[int]:
+        """Chat messages -> prompt token ids. Llama-3 gets the real instruct template
+        (special header/eot ids, data/tokenizers.py); other tokenizers fall back to a
+        readable role-prefixed plain-text transcript."""
+        assert messages and all(
+            isinstance(m, dict) and m.get("role") and isinstance(m.get("content"), str)
+            for m in messages
+        ), "messages must be [{role, content}, ...]"
+        if hasattr(self.tok, "apply_chat_template"):
+            return self.tok.apply_chat_template(messages)
+        text = "".join(f"{m['role']}: {m['content'].strip()}\n" for m in messages)
+        return self.tok(text + "assistant:", add_bos=True)
+
+    @property
+    def chat_eos_id(self) -> int:
+        return getattr(self.tok, "eot_id", self.tok.eos_id)
+
+    def submit(self, rows: list[list[int]], max_tokens: int, temperature: float,
+               top_k: int, top_p: float, min_p: float = 0.0, eos_id: int | None = None,
+               stream_q=None) -> _Request:
+        """Enqueue pre-tokenized rows for the coalescing worker. Non-blocking."""
         longest = max(len(r) for r in rows)
         if longest >= self.config.max_seq_len:
             raise ValueError(
                 f"longest prompt ({longest} tokens) fills the {self.config.max_seq_len} cache"
             )
-        req = _Request(rows, max_tokens, (temperature, top_k, top_p, min_p))
+        sig = (temperature, top_k, top_p, min_p,
+               self.tok.eos_id if eos_id is None else eos_id)
+        req = _Request(rows, max_tokens, sig, stream_q=stream_q)
         with self._cond:
             self._queue.append(req)
             self._cond.notify()
+        return req
+
+    def complete(self, prompts: list[str], max_tokens: int, temperature: float,
+                 top_k: int, top_p: float, min_p: float = 0.0):
+        """Tokenize, enqueue, block until the coalescing worker answers.
+        -> (texts, counts, reasons) per row; reasons is 'stop' (hit eos) or 'length'."""
+        rows = [self.tok(p, add_bos=True) for p in prompts]
+        req = self.submit(rows, max_tokens, temperature, top_k, top_p, min_p)
         req.event.wait()
         if req.error is not None:
             raise req.error
@@ -169,16 +197,18 @@ class Engine:
                     r.error = e
             finally:
                 for r in group:
+                    if r.stream_q is not None:
+                        r.stream_q.put(None)  # sentinel: no more deltas
                     r.event.set()
 
     def _run_batch(self, group: list[_Request], sig):
         import numpy as np
 
-        from llama_x_tpu.models.generate import generate
+        from llama_x_tpu.models.generate import generate, generate_stream
         from llama_x_tpu.models.speculative import generate_speculative
 
         jnp = self.jnp
-        temperature, top_k, top_p, min_p = sig
+        temperature, top_k, top_p, min_p, eos_id = sig
         rows = [r for req in group for r in req.rows]
         speculative = self.draft_params is not None
 
@@ -207,27 +237,66 @@ class Engine:
         common = dict(
             max_new_tokens=n_new, key=self.jax.random.PRNGKey(self.seed),
             temperature=temperature, top_k=top_k, top_p=top_p, min_p=min_p,
-            eos_id=self.tok.eos_id, pad_id=self.tok.pad_id,
+            eos_id=eos_id, pad_id=self.tok.pad_id,
             prompt_lens=jnp.asarray(lens), cache_dtype=self.cache_dtype,
         )
-        if speculative:
-            out, _stats = generate_speculative(
-                self.params, self.config, self.draft_params, self.draft_config,
-                jnp.asarray(padded), gamma=self.gamma, **common,
-            )
+        streaming = [req for req in group if req.stream_q is not None]
+        chunked = (streaming or self.args.decode_chunk > 0) and not speculative
+
+        def push_deltas(out_np, prev_texts):
+            """Send each streaming request its rows' new text since the last chunk."""
+            at = 0
+            for req in group:
+                if req.stream_q is not None:
+                    deltas = []
+                    for i, row in enumerate(out_np[at : at + len(req.rows), : req.max_tokens]):
+                        toks = [int(t) for t in row if t not in (self.tok.pad_id, eos_id)]
+                        text = self.tok.decode(toks)
+                        prev = prev_texts.setdefault(req, [""] * len(req.rows))
+                        deltas.append(text[len(prev[i]):])
+                        prev[i] = text
+                    if any(deltas):
+                        req.stream_q.put(deltas)
+                at += len(req.rows)
+
+        if chunked:
+            # resumable decode: early-exits once every row is done, and streams text
+            # deltas per chunk (models/generate.py generate_stream — parity-pinned
+            # against the one-shot program)
+            prev_texts: dict[_Request, list[str]] = {}
+            blocks = []
+            for block in generate_stream(
+                self.params, self.config, jnp.asarray(padded),
+                chunk_size=self.args.decode_chunk or 16, **common,
+            ):
+                blocks.append(np.asarray(block))
+                if streaming:
+                    push_deltas(np.concatenate(blocks, axis=1), prev_texts)
+            out = np.concatenate(blocks, axis=1)
+            if out.shape[1] < n_new:  # early exit: missing columns are all-pad
+                pad = np.full((B, n_new - out.shape[1]), self.tok.pad_id, np.int32)
+                out = np.concatenate([out, pad], axis=1)
         else:
-            out = generate(self.params, self.config, jnp.asarray(padded), **common)
-        out = np.asarray(out)
+            if speculative:
+                out, _stats = generate_speculative(
+                    self.params, self.config, self.draft_params, self.draft_config,
+                    jnp.asarray(padded), gamma=self.gamma, **common,
+                )
+            else:
+                out = generate(self.params, self.config, jnp.asarray(padded), **common)
+            out = np.asarray(out)
+            if streaming:  # speculative path has no chunk stream: one final delta
+                push_deltas(out, {})
 
         at = 0
         for req in group:
             texts, counts, reasons = [], [], []
             for row in out[at : at + len(req.rows), : req.max_tokens]:
-                toks = [int(t) for t in row if t not in (self.tok.pad_id, self.tok.eos_id)]
+                toks = [int(t) for t in row if t not in (self.tok.pad_id, eos_id)]
                 texts.append(self.tok.decode(toks))
                 counts.append(len(toks))
                 # eos within the requested window -> the model stopped on its own
-                reasons.append("stop" if (row == self.tok.eos_id).any() else "length")
+                reasons.append("stop" if (row == eos_id).any() else "length")
             req.texts, req.counts, req.reasons = texts, counts, reasons
             at += len(req.rows)
 
@@ -252,46 +321,137 @@ def make_handler(engine: Engine):
             else:
                 self._reply(404, {"error": "unknown path"})
 
+        def _sse_begin(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+
+        def _sse_event(self, obj):
+            self.wfile.write(b"data: " + json.dumps(obj).encode() + b"\n\n")
+            self.wfile.flush()
+
+        def _stream(self, rows, sampling, chat: bool, eos_id=None):
+            """SSE response: one event per decode chunk with per-choice text deltas,
+            then a finish event and the OpenAI '[DONE]' terminator."""
+            import queue
+
+            q: queue.Queue = queue.Queue()
+            req = engine.submit(rows, eos_id=eos_id, stream_q=q, **sampling)
+            self._sse_begin()
+            obj = "chat.completion.chunk" if chat else "text_completion.chunk"
+            while True:
+                deltas = q.get()
+                if deltas is None:
+                    break
+                self._sse_event({
+                    "object": obj,
+                    "choices": [
+                        {"index": i,
+                         **({"delta": {"content": d}} if chat else {"text": d})}
+                        for i, d in enumerate(deltas) if d
+                    ],
+                })
+            req.event.wait()
+            if req.error is not None:
+                self._sse_event({"error": f"{type(req.error).__name__}: {req.error}"})
+            else:
+                self._sse_event({
+                    "object": obj,
+                    "choices": [
+                        {"index": i, "finish_reason": fr,
+                         **({"delta": {}} if chat else {"text": ""})}
+                        for i, fr in enumerate(req.reasons)
+                    ],
+                })
+            self.wfile.write(b"data: [DONE]\n\n")
+            self.wfile.flush()
+
+        @staticmethod
+        def _parse_sampling(req):
+            return dict(
+                max_tokens=int(req.get("max_tokens", 64)),
+                temperature=float(req.get("temperature", 0.0)),
+                top_k=int(req.get("top_k", 0)),
+                top_p=float(req.get("top_p", 1.0)),
+                min_p=float(req.get("min_p", 0.0)),
+            )
+
+        @staticmethod
+        def _apply_stop(texts, reasons, stop):
+            cut, creas = [], []
+            for t, fr in zip(texts, reasons):
+                idxs = [t.index(sq) for sq in stop if sq in t]
+                cut.append(t[: min(idxs)] if idxs else t)
+                creas.append("stop" if idxs else fr)
+            return cut, creas
+
         def do_POST(self):
-            if self.path not in ("/v1/completions", "/completions"):
-                self._reply(404, {"error": "unknown path"})
-                return
             try:
                 req = json.loads(self.rfile.read(int(self.headers.get("Content-Length", 0))))
-                prompt = req.get("prompt", "")
-                prompts = prompt if isinstance(prompt, list) else [prompt]
-                assert prompts and all(isinstance(p, str) and p for p in prompts), "prompt required"
-                n = int(req.get("n", 1))
-                assert 1 <= n <= 64, "n must be in [1, 64]"
-                stop = req.get("stop") or []
-                stop = [stop] if isinstance(stop, str) else list(stop)
-                t0 = time.perf_counter()
-                texts, counts, reasons = engine.complete(
-                    prompts * n if n > 1 else prompts,
-                    max_tokens=int(req.get("max_tokens", 64)),
-                    temperature=float(req.get("temperature", 0.0)),
-                    top_k=int(req.get("top_k", 0)),
-                    top_p=float(req.get("top_p", 1.0)),
-                    min_p=float(req.get("min_p", 0.0)),
-                )
-                if stop:
-                    cut, creas = [], []
-                    for t, fr in zip(texts, reasons):
-                        idxs = [t.index(sq) for sq in stop if sq in t]
-                        cut.append(t[: min(idxs)] if idxs else t)
-                        creas.append("stop" if idxs else fr)
-                    texts, reasons = cut, creas
-                dt = time.perf_counter() - t0
-                self._reply(200, {
-                    "object": "text_completion",
-                    "choices": [
-                        {"index": i, "text": t, "finish_reason": fr}
-                        for i, (t, fr) in enumerate(zip(texts, reasons))
-                    ],
-                    "usage": {"completion_tokens": sum(counts), "wall_seconds": round(dt, 3)},
-                })
+                if self.path in ("/v1/completions", "/completions"):
+                    self._completions(req)
+                elif self.path in ("/v1/chat/completions", "/chat/completions"):
+                    self._chat(req)
+                else:
+                    self._reply(404, {"error": "unknown path"})
             except Exception as e:  # noqa: BLE001 — surface the error to the client
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+        def _completions(self, req):
+            prompt = req.get("prompt", "")
+            prompts = prompt if isinstance(prompt, list) else [prompt]
+            assert prompts and all(isinstance(p, str) and p for p in prompts), "prompt required"
+            n = int(req.get("n", 1))
+            assert 1 <= n <= 64, "n must be in [1, 64]"
+            stop = req.get("stop") or []
+            stop = [stop] if isinstance(stop, str) else list(stop)
+            sampling = self._parse_sampling(req)
+            if req.get("stream"):
+                rows = [engine.tok(p, add_bos=True) for p in (prompts * n if n > 1 else prompts)]
+                self._stream(rows, sampling, chat=False)
+                return
+            t0 = time.perf_counter()
+            texts, counts, reasons = engine.complete(
+                prompts * n if n > 1 else prompts, **sampling)
+            if stop:
+                texts, reasons = self._apply_stop(texts, reasons, stop)
+            dt = time.perf_counter() - t0
+            self._reply(200, {
+                "object": "text_completion",
+                "choices": [
+                    {"index": i, "text": t, "finish_reason": fr}
+                    for i, (t, fr) in enumerate(zip(texts, reasons))
+                ],
+                "usage": {"completion_tokens": sum(counts), "wall_seconds": round(dt, 3)},
+            })
+
+        def _chat(self, req):
+            messages = req.get("messages")
+            rows = [engine.encode_chat(messages)]
+            stop = req.get("stop") or []
+            stop = [stop] if isinstance(stop, str) else list(stop)
+            sampling = self._parse_sampling(req)
+            if req.get("stream"):
+                self._stream(rows, sampling, chat=True, eos_id=engine.chat_eos_id)
+                return
+            t0 = time.perf_counter()
+            r = engine.submit(rows, eos_id=engine.chat_eos_id, **sampling)
+            r.event.wait()
+            if r.error is not None:
+                raise r.error
+            texts, reasons = r.texts, r.reasons
+            if stop:
+                texts, reasons = self._apply_stop(texts, reasons, stop)
+            dt = time.perf_counter() - t0
+            self._reply(200, {
+                "object": "chat.completion",
+                "choices": [
+                    {"index": 0, "message": {"role": "assistant", "content": texts[0]},
+                     "finish_reason": reasons[0]},
+                ],
+                "usage": {"completion_tokens": r.counts[0], "wall_seconds": round(dt, 3)},
+            })
 
     return Handler
 
@@ -314,6 +474,10 @@ def build_parser():
                         help="compiled prompt-length granularity (executable-cache buckets)")
     parser.add_argument("--batch_window_ms", type=int, default=5,
                         help="coalescing window: how long the worker waits for more requests")
+    parser.add_argument("--decode_chunk", type=int, default=32,
+                        help="decode in resumable chunks of this many tokens: streams SSE "
+                        "deltas and stops early once every row is done (0 = one fused "
+                        "generate() per batch; streaming requests force chunks)")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--seed", type=int, default=0)
     return parser
