@@ -1,0 +1,406 @@
+"""Continuous batching: rows join and leave the running decode batch at chunk
+boundaries.
+
+The reference has no serving stack at all (SURVEY §3 — modelling/llama.py stops at
+the KV cache); the coalescing engine in tools/serve_http.py batches requests that
+arrive in the same window but makes late arrivals wait for the whole batch to
+finish. This is the TPU-native fix, the same scheduling idea as vLLM's continuous
+batching but redesigned for XLA's compilation model — no dynamic batch, no paging,
+no per-step dispatch:
+
+- ONE persistent decode state over a fixed number of slots (the compiled batch
+  dimension). The KV cache is [L, n_slots, Hkv, S_max, hd] and is DONATED through
+  every dispatch, so the whole serving loop runs allocation-free in steady state.
+- Admission is a jitted single-row prefill into a fresh [L, 1, ...] cache that is
+  then scattered into the slot's lane of the shared cache (dynamic_update_slice on
+  the donated buffer = in-place write). One compile per prompt-length bucket.
+- Decoding is the resumable chunk scan (models/generate.py decode_chunk's law) with
+  every per-request quantity traced as a [n_slots] array: sampling params
+  (temperature / top-k / top-p / min-p), eos id (chat eot vs plain eos can share a
+  batch), token budget, and the done mask. Nothing about a new request's sampling
+  config or max_tokens triggers a recompile — the compiled-program count is
+  O(prompt buckets) + 1, regardless of traffic.
+- Between chunks the host appends each row's new tokens (the freeze mask is
+  monotone, so a row's valid tokens are a chunk-local PREFIX of length
+  emitted_after - emitted_before), streams deltas, frees finished slots, and admits
+  queued rows into them.
+
+Per-row isolation makes this exact: attention, RoPE, and the cache scatter are all
+row-local, so a row's greedy output is identical to an unbatched generate() of the
+same prompt no matter what traffic shares its batch (pinned by tests).
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llama_x_tpu.models import llama
+from llama_x_tpu.ops.attention import MaskInfo
+
+Params = dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# per-row sampling: the [B]-vectorized form of generate.sample_logits. For rows
+# with identical scalar params both paths draw the SAME token from the same key
+# (same filter math, same gumbel draw) — pinned by tests.
+# ---------------------------------------------------------------------------
+
+
+def sample_logits_rows(
+    key: jax.Array,
+    logits: jnp.ndarray,
+    temperature: jnp.ndarray,
+    top_k: jnp.ndarray,
+    top_p: jnp.ndarray,
+    min_p: jnp.ndarray,
+) -> jnp.ndarray:
+    """logits [B, V] + per-row params [B] → token ids [B]; temperature==0 rows argmax.
+
+    Mirrors generate.filter_logits exactly, with per-row thresholds: top-k truncates
+    (k=0 → keep all), then min-p relative to the row max, then the nucleus keeps the
+    smallest prefix of the (filtered) distribution whose mass exceeds top_p."""
+    B, V = logits.shape
+    lf = logits.astype(jnp.float32)
+    greedy = jnp.argmax(lf, axis=-1).astype(jnp.int32)
+
+    l = lf / jnp.maximum(temperature, 1e-6)[:, None]
+    # top-k: per-row k-th largest as the threshold (sort replaces lax.top_k — k is traced)
+    desc = jnp.sort(l, axis=-1)[:, ::-1]
+    k = jnp.clip(jnp.where(top_k > 0, top_k, V), 1, V).astype(jnp.int32)
+    kth = jnp.take_along_axis(desc, (k - 1)[:, None], axis=-1)
+    l = jnp.where(l < kth, -jnp.inf, l)
+    # min-p: log-space threshold relative to the row max (normalizer cancels)
+    cutoff = jnp.max(l, axis=-1, keepdims=True) + jnp.log(jnp.clip(min_p, 1e-12, 1.0))[:, None]
+    l = jnp.where((min_p > 0.0)[:, None] & (l < cutoff), -jnp.inf, l)
+    # top-p over the already-filtered logits (generate.filter_logits order)
+    desc = jnp.sort(l, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(desc, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = (cum - probs) < top_p[:, None]  # exclusive prefix: top token always kept
+    cutoff = jnp.min(jnp.where(keep, desc, jnp.inf), axis=-1, keepdims=True)
+    l = jnp.where((top_p < 1.0)[:, None] & (l < cutoff), -jnp.inf, l)
+
+    gumbel = jax.random.gumbel(key, l.shape, jnp.float32)
+    sampled = jnp.argmax(l + gumbel, axis=-1).astype(jnp.int32)
+    return jnp.where(temperature == 0.0, greedy, sampled)
+
+
+# ---------------------------------------------------------------------------
+# device programs: slot admission + the chunked multi-row decode step
+# ---------------------------------------------------------------------------
+# state pytree (dtypes must stay IDENTICAL across dispatches — donation aliasing):
+#   (kv_cache, tok [B] i32, pos [B] i32, done [B] bool, emitted [B] i32)
+
+
+def init_state(config: llama.LlamaConfig, n_slots: int, cache_dtype=jnp.bfloat16):
+    return (
+        llama.init_kv_cache(config, n_slots, dtype=cache_dtype),
+        jnp.zeros((n_slots,), jnp.int32),
+        jnp.zeros((n_slots,), jnp.int32),
+        jnp.ones((n_slots,), bool),  # empty slots are "done"
+        jnp.zeros((n_slots,), jnp.int32),
+    )
+
+
+def _scatter_row(big_cache, row_cache, slot):
+    """Write a [L, 1, ...] single-row cache into lane ``slot`` of the shared cache.
+    Works on both cache forms (bf16 arrays / int8 (data, scale) tuples): every leaf
+    has the batch at axis 1."""
+    return jax.tree.map(
+        lambda b, s: jax.lax.dynamic_update_slice(
+            b, s.astype(b.dtype), (0, slot) + (0,) * (b.ndim - 2)
+        ),
+        big_cache, row_cache,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config", "cache_dtype"), donate_argnums=(2,))
+def admit_row(
+    params: Params,
+    config: llama.LlamaConfig,
+    state,
+    slot: jnp.ndarray,
+    prompt: jnp.ndarray,      # [1, Pb] right-padded to the bucket length
+    prompt_len: jnp.ndarray,  # scalar i32: the row's real length
+    key: jax.Array,
+    sampling: jnp.ndarray,    # [4] f32: temperature, top_k, top_p, min_p
+    eos_id: jnp.ndarray,      # scalar i32
+    cache_dtype=jnp.bfloat16,
+):
+    """Prefill one prompt row and install it in ``slot``. → (first_token, new state).
+
+    Compiles once per prompt bucket Pb; slot / lengths / sampling are all traced.
+    Pad positions beyond prompt_len are computed too (causal: they never influence
+    valid positions) and their stale cache rows are overwritten by this row's
+    generated tokens before the advancing kv_len window can expose them — the same
+    invariant as ragged generate() (models/generate.py)."""
+    kv_cache, tok, pos, done, emitted = state
+
+    x = jnp.take(params["tok_embeddings"]["weight"], prompt, axis=0)
+    Pb = prompt.shape[1]
+    row_cache = llama.init_kv_cache(config, 1, dtype=cache_dtype)
+    h, row_cache = llama.trunk(
+        params, config, x, MaskInfo(causal=True), row_cache,
+        input_pos=jnp.arange(Pb, dtype=jnp.int32), prefill=True,
+    )
+    h_last = jax.lax.dynamic_slice_in_dim(h, prompt_len - 1, 1, axis=1)
+    logits = llama.head(params, config, h_last)[:, 0]  # [1, V]
+    t, k, p, mp = sampling[0], sampling[1], sampling[2], sampling[3]
+    first = sample_logits_rows(
+        key, logits, t[None], k.astype(jnp.int32)[None], p[None], mp[None]
+    )[0]
+
+    kv_cache = _scatter_row(kv_cache, row_cache, slot)
+    tok = tok.at[slot].set(first)
+    pos = pos.at[slot].set(prompt_len.astype(jnp.int32))
+    done = done.at[slot].set(first == eos_id)
+    emitted = emitted.at[slot].set(1)
+    return first, (kv_cache, tok, pos, done, emitted)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "pad_id"), donate_argnums=(2,))
+def decode_rows(
+    params: Params,
+    config: llama.LlamaConfig,
+    state,
+    keys: jnp.ndarray,        # [n, key]: one per step
+    temperature: jnp.ndarray,  # [B]
+    top_k: jnp.ndarray,        # [B] i32
+    top_p: jnp.ndarray,        # [B]
+    min_p: jnp.ndarray,        # [B]
+    eos_ids: jnp.ndarray,      # [B] i32 (per-row stop token: chat eot vs eos)
+    budget: jnp.ndarray,       # [B] i32: per-row max_new_tokens
+    pad_id: int = 0,
+):
+    """Run ``len(keys)`` decode steps over every slot. → (tokens [B, n], new state).
+
+    A row freezes (monotonically) when it emits its eos, exhausts its budget, or
+    fills the cache; frozen and empty slots ride along emitting pad_id (their lanes
+    are dead weight in the batched GEMMs — the price of a static batch, recovered by
+    admitting new rows into them at the next boundary)."""
+    S_max = config.max_seq_len
+
+    def step(carry, step_key):
+        kv_cache, tok, pos, done, emitted = carry
+        x = jnp.take(params["tok_embeddings"]["weight"], tok[:, None], axis=0)
+        mask = MaskInfo(causal=True, q_positions=pos[:, None], kv_len=pos + 1)
+        h, kv_cache = llama.trunk(params, config, x, mask, kv_cache, input_pos=pos[:, None])
+        logits = llama.head(params, config, h)[:, 0]
+        nxt = sample_logits_rows(step_key, logits, temperature, top_k, top_p, min_p)
+        nxt = jnp.where(done, pad_id, nxt)
+        emitted = emitted + jnp.where(done, 0, 1)
+        # frozen/empty lanes hold position: their attention window must not grow
+        # toward S_max (the decode kernel reads O(kv_len) — dead lanes would other-
+        # wise stream the whole zero cache). Live rows never hit the clamp (the
+        # capacity freeze below fires first).
+        new_pos = jnp.where(done, pos, jnp.minimum(pos + 1, S_max - 1))
+        done = done | (nxt == eos_ids) | (emitted >= budget) | (pos + 1 >= S_max)
+        return (kv_cache, nxt, new_pos, done, emitted), nxt
+
+    state, toks = jax.lax.scan(step, state, keys)
+    return toks.T, state
+
+
+# ---------------------------------------------------------------------------
+# host-side scheduler
+# ---------------------------------------------------------------------------
+
+
+class RowHandle:
+    """One prompt row moving through the scheduler. ``event`` fires when the row is
+    finished; ``stream_q`` (optional queue.Queue) receives token-id lists per chunk
+    and a ``None`` sentinel at the end."""
+
+    def __init__(self, ids: list[int], max_tokens: int, sampling, eos_id: int, stream_q=None):
+        assert max_tokens >= 1
+        self.ids = ids
+        self.max_tokens = max_tokens
+        self.sampling = sampling  # (temperature, top_k, top_p, min_p)
+        self.eos_id = eos_id
+        self.stream_q = stream_q
+        self.tokens: list[int] = []   # raw emissions, eos included
+        self.event = threading.Event()
+        self.error: Exception | None = None
+
+    @property
+    def finish_reason(self) -> str:
+        return "stop" if (self.tokens and self.tokens[-1] == self.eos_id) else "length"
+
+
+class ContinuousScheduler:
+    """Admit-between-chunks serving loop over a fixed slot array.
+
+    submit() is thread-safe and non-blocking; a worker thread owns the device state
+    and runs: admit queued rows into free slots → decode one chunk over all slots →
+    deliver tokens / free finished slots → repeat (sleeping when fully idle).
+    """
+
+    def __init__(
+        self,
+        params: Params,
+        config: llama.LlamaConfig,
+        *,
+        n_slots: int = 8,
+        chunk_size: int = 16,
+        prompt_multiple: int = 64,
+        cache_dtype=jnp.bfloat16,
+        pad_id: int = 0,
+        seed: int = 0,
+    ):
+        self.params, self.config = params, config
+        self.n_slots, self.chunk_size = n_slots, chunk_size
+        self.prompt_multiple = prompt_multiple
+        self.cache_dtype, self.pad_id = cache_dtype, pad_id
+        self.state = init_state(config, n_slots, cache_dtype)
+        self.key = jax.random.PRNGKey(seed)
+        # host mirrors of the per-slot row metadata fed to decode_rows each chunk
+        self.temp = np.zeros(n_slots, np.float32)
+        self.topk = np.zeros(n_slots, np.int32)
+        self.topp = np.ones(n_slots, np.float32)
+        self.minp = np.zeros(n_slots, np.float32)
+        self.eos = np.full(n_slots, -1, np.int32)
+        self.budget = np.ones(n_slots, np.int32)
+        self.emitted_seen = np.zeros(n_slots, np.int64)  # host copy of emitted
+        self.rows: list[RowHandle | None] = [None] * n_slots
+        self.queue: list[RowHandle] = []
+        self.cond = threading.Condition()
+        self.dispatches = 0  # chunks run (observability / tests)
+        self.admissions = 0
+        self.dead: Exception | None = None
+        self._stop = False
+        self.worker = threading.Thread(target=self._run, daemon=True)
+        self.worker.start()
+
+    # -- client side ---------------------------------------------------------
+
+    def submit(self, ids: list[int], max_tokens: int, sampling=(0.0, 0, 1.0, 0.0),
+               eos_id: int = -1, stream_q=None) -> RowHandle:
+        cap = self.config.max_seq_len
+        if len(ids) + 1 > cap:
+            raise ValueError(f"prompt ({len(ids)} tokens) fills the {cap} cache")
+        row = RowHandle(list(ids), max_tokens, tuple(sampling), eos_id, stream_q)
+        with self.cond:
+            if self.dead is not None:
+                raise RuntimeError("scheduler worker died") from self.dead
+            self.queue.append(row)
+            self.cond.notify()
+        return row
+
+    def close(self):
+        with self.cond:
+            self._stop = True
+            self.cond.notify()
+        self.worker.join(timeout=30)
+
+    # -- worker side ---------------------------------------------------------
+
+    def _split(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def _admit(self, slot: int, row: RowHandle):
+        P = len(row.ids)
+        Pb = max(self.prompt_multiple, -(-P // self.prompt_multiple) * self.prompt_multiple)
+        Pb = min(Pb, self.config.max_seq_len - 1)
+        padded = np.full((1, Pb), self.pad_id, np.int32)
+        padded[0, :P] = row.ids
+        t, k, p, mp = row.sampling
+        first, self.state = admit_row(
+            self.params, self.config, self.state,
+            jnp.asarray(slot, jnp.int32), jnp.asarray(padded),
+            jnp.asarray(P, jnp.int32), self._split(),
+            jnp.asarray([t, k, p, mp], jnp.float32),
+            jnp.asarray(row.eos_id, jnp.int32), cache_dtype=self.cache_dtype,
+        )
+        self.rows[slot] = row
+        self.temp[slot], self.topk[slot] = t, k
+        self.topp[slot], self.minp[slot] = p, mp
+        self.eos[slot] = row.eos_id
+        # decode budget capped by cache capacity (prefill took P slots, first token
+        # sits at P — the chunk scan writes from P+1 on)
+        self.budget[slot] = min(row.max_tokens, self.config.max_seq_len - P)
+        self.emitted_seen[slot] = 1
+        self.admissions += 1
+        row.tokens.append(int(first))
+        self._deliver(row, [int(first)])
+        if row.tokens[-1] == row.eos_id or len(row.tokens) >= self.budget[slot]:
+            # the lane freezes on its own within a step (eos set done at admit;
+            # budget trips via emitted >= budget) — free the slot immediately
+            self._finish(slot)
+
+    @staticmethod
+    def _deliver(row: RowHandle, new: list[int]):
+        if row.stream_q is not None and new:
+            row.stream_q.put(list(new))
+
+    def _finish(self, slot: int):
+        row = self.rows[slot]
+        self.rows[slot] = None
+        self.eos[slot] = -1
+        if row is not None:
+            if row.stream_q is not None:
+                row.stream_q.put(None)
+            row.event.set()
+
+    def _run(self):
+        try:
+            while True:
+                with self.cond:
+                    while (not self._stop and not self.queue
+                           and all(r is None for r in self.rows)):
+                        self.cond.wait()
+                    if self._stop:
+                        break
+                    pending = self.queue
+                    self.queue = []
+                # admit into free slots; overflow returns to the queue
+                for slot in range(self.n_slots):
+                    if pending and self.rows[slot] is None:
+                        self._admit(slot, pending.pop(0))
+                if pending:
+                    with self.cond:
+                        self.queue = pending + self.queue
+                if all(r is None for r in self.rows):
+                    continue
+
+                keys = jax.random.split(self._split(), self.chunk_size)
+                toks, self.state = decode_rows(
+                    self.params, self.config, self.state, keys,
+                    jnp.asarray(self.temp), jnp.asarray(self.topk),
+                    jnp.asarray(self.topp), jnp.asarray(self.minp),
+                    jnp.asarray(self.eos), jnp.asarray(self.budget),
+                    pad_id=self.pad_id,
+                )
+                self.dispatches += 1
+                toks = np.asarray(toks)
+                emitted = np.asarray(self.state[4])
+                done = np.asarray(self.state[3])
+                for slot, row in enumerate(self.rows):
+                    if row is None:
+                        continue
+                    # freeze is monotone: this chunk's valid tokens are a prefix
+                    n_new = int(emitted[slot] - self.emitted_seen[slot])
+                    self.emitted_seen[slot] = emitted[slot]
+                    new = [int(t) for t in toks[slot, :n_new]]
+                    row.tokens.extend(new)
+                    self._deliver(row, new)
+                    if done[slot]:
+                        self._finish(slot)
+        except Exception as e:  # worker must never die silently
+            with self.cond:
+                self.dead = e
+                broken = [r for r in self.rows if r is not None] + self.queue
+                self.rows = [None] * self.n_slots
+                self.queue = []
+            for row in broken:
+                row.error = e
+                if row.stream_q is not None:
+                    row.stream_q.put(None)
+                row.event.set()

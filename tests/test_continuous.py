@@ -1,0 +1,161 @@
+"""Continuous batching scheduler: per-row sampling parity, greedy exactness vs
+unbatched generate() under slot reuse / mid-stream admission / mixed sampling
+configs, per-row eos, and the int8-cache form."""
+
+import queue
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llama_x_tpu.models import llama
+from llama_x_tpu.models.generate import generate, sample_logits
+from llama_x_tpu.serve.continuous import ContinuousScheduler, sample_logits_rows
+
+
+@pytest.fixture(scope="module")
+def model():
+    config = llama.tiny_config(max_seq_len=64)
+    params = llama.init(jax.random.PRNGKey(0), config, dtype=jnp.float32)
+    return params, config
+
+
+def _isolated(params, config, ids, n, cache_dtype=jnp.float32, eos_id=-1):
+    """Reference: unbatched generate(), truncated at eos (inclusive) like the
+    scheduler's raw emissions."""
+    out = np.asarray(generate(
+        params, config, jnp.asarray([ids], jnp.int32), max_new_tokens=n,
+        cache_dtype=cache_dtype, eos_id=eos_id,
+    ))[0]
+    toks = []
+    for t in out:
+        toks.append(int(t))
+        if t == eos_id:
+            break
+    return toks
+
+
+def _prompts(config, lens, seed=3):
+    rng = np.random.default_rng(seed)
+    return [[int(t) for t in rng.integers(0, config.vocab_size, n)] for n in lens]
+
+
+def test_sample_logits_rows_matches_scalar():
+    """Uniform rows + same key must draw the SAME tokens as the scalar sampler —
+    the continuous path may not change sampling semantics."""
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((4, 97)), jnp.float32)
+    B = logits.shape[0]
+    for sig in [(0.0, 0, 1.0, 0.0), (0.8, 0, 1.0, 0.0), (1.2, 7, 1.0, 0.0),
+                (0.9, 0, 0.7, 0.0), (1.0, 13, 0.85, 0.05), (2.0, 0, 1.0, 0.2)]:
+        t, k, p, mp = sig
+        for s in range(3):
+            key = jax.random.PRNGKey(s)
+            want = sample_logits(key, logits, t, k, p, mp)
+            got = sample_logits_rows(
+                key, logits,
+                jnp.full((B,), t, jnp.float32), jnp.full((B,), k, jnp.int32),
+                jnp.full((B,), p, jnp.float32), jnp.full((B,), mp, jnp.float32),
+            )
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want)), sig
+
+
+def test_continuous_greedy_matches_generate_with_slot_reuse(model):
+    """3 requests through 2 slots (forces queueing + slot reuse): every row's
+    greedy output must equal its own unbatched generate()."""
+    params, config = model
+    sched = ContinuousScheduler(params, config, n_slots=2, chunk_size=4,
+                                prompt_multiple=16, cache_dtype=jnp.float32)
+    try:
+        prompts = _prompts(config, [5, 11, 8])
+        rows = [sched.submit(p, max_tokens=10) for p in prompts]
+        for r in rows:
+            assert r.event.wait(timeout=300) and r.error is None
+        for p, r in zip(prompts, rows):
+            want = _isolated(params, config, p, 10)
+            assert r.tokens == want, (r.tokens, want)
+            assert r.finish_reason == "length"
+        assert sched.admissions == 3
+    finally:
+        sched.close()
+
+
+def test_continuous_mid_stream_admission(model):
+    """A second request admitted while the first is mid-generation (proven via its
+    stream queue) — both rows still match their isolated outputs exactly."""
+    params, config = model
+    sched = ContinuousScheduler(params, config, n_slots=2, chunk_size=2,
+                                prompt_multiple=16, cache_dtype=jnp.float32)
+    try:
+        pa, pb = _prompts(config, [6, 9], seed=11)
+        qa: queue.Queue = queue.Queue()
+        ra = sched.submit(pa, max_tokens=20, stream_q=qa)
+        got_first = qa.get(timeout=300)  # A is now running
+        assert got_first
+        rb = sched.submit(pb, max_tokens=8)
+        assert ra.event.wait(timeout=300) and rb.event.wait(timeout=300)
+        assert ra.tokens == _isolated(params, config, pa, 20)
+        assert rb.tokens == _isolated(params, config, pb, 8)
+        # drain A's stream: deltas concatenate to the final tokens
+        pieces = list(got_first)
+        while True:
+            d = qa.get(timeout=60)
+            if d is None:
+                break
+            pieces.extend(d)
+        assert pieces == ra.tokens
+    finally:
+        sched.close()
+
+
+def test_continuous_mixed_sampling_configs(model):
+    """A greedy row and a sampled row share the batch; the greedy row is exact and
+    the sampled row emits its budget of in-vocab tokens."""
+    params, config = model
+    sched = ContinuousScheduler(params, config, n_slots=2, chunk_size=4,
+                                prompt_multiple=16, cache_dtype=jnp.float32)
+    try:
+        pg, ps = _prompts(config, [7, 7], seed=21)
+        rg = sched.submit(pg, max_tokens=12)
+        rs = sched.submit(ps, max_tokens=12, sampling=(1.1, 9, 0.9, 0.0))
+        assert rg.event.wait(timeout=300) and rs.event.wait(timeout=300)
+        assert rg.tokens == _isolated(params, config, pg, 12)
+        assert len(rs.tokens) == 12 and all(0 <= t < config.vocab_size for t in rs.tokens)
+    finally:
+        sched.close()
+
+
+def test_continuous_per_row_eos(model):
+    """Each row can stop on its OWN eos id (chat eot vs plain eos in one batch):
+    pick the token the greedy row emits mid-way as its eos and pin the cut."""
+    params, config = model
+    p = _prompts(config, [5], seed=31)[0]
+    full = _isolated(params, config, p, 10)
+    eos = full[4]  # force a stop at the first occurrence of this token
+    want = full[: full.index(eos) + 1]
+    sched = ContinuousScheduler(params, config, n_slots=2, chunk_size=3,
+                                prompt_multiple=16, cache_dtype=jnp.float32)
+    try:
+        r = sched.submit(p, max_tokens=10, eos_id=eos)
+        other = sched.submit(_prompts(config, [4], seed=32)[0], max_tokens=10)
+        assert r.event.wait(timeout=300) and other.event.wait(timeout=300)
+        assert r.tokens == want and r.finish_reason == "stop"
+        assert other.finish_reason == "length"
+    finally:
+        sched.close()
+
+
+def test_continuous_int8_cache(model):
+    """The quantized-cache form admits/scatters (data, scale) tuples and matches
+    generate(cache_dtype=int8) greedily."""
+    params, config = model
+    sched = ContinuousScheduler(params, config, n_slots=2, chunk_size=4,
+                                prompt_multiple=16, cache_dtype=jnp.int8)
+    try:
+        p = _prompts(config, [9], seed=41)[0]
+        r = sched.submit(p, max_tokens=8)
+        assert r.event.wait(timeout=300) and r.error is None
+        assert r.tokens == _isolated(params, config, p, 8, cache_dtype=jnp.int8)
+    finally:
+        sched.close()

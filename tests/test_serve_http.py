@@ -141,6 +141,43 @@ def test_engine_chunked_matches_oneshot():
     assert got[0] == want[0] and got[2] == want[2], (got, want)
 
 
+def test_engine_continuous_matches_oneshot():
+    """--continuous N (slot scheduler): greedy texts/counts/reasons must equal the
+    one-shot fused path for a multi-prompt request."""
+    oneshot = _tiny_engine(extra_args=("--decode_chunk", "0"))
+    cont = _tiny_engine(extra_args=("--continuous", "2", "--decode_chunk", "4"))
+    p = ["continuous batching", "a second, longer prompt to batch"]
+    want = oneshot.complete(p, max_tokens=9, temperature=0.0, top_k=0, top_p=1.0)
+    got = cont.complete(p, max_tokens=9, temperature=0.0, top_k=0, top_p=1.0)
+    assert got == want, (got, want)
+
+
+def test_engine_continuous_late_join_streams():
+    """A request submitted while another is mid-decode joins the running batch (no
+    waiting for the first to finish) and both match their solo outputs; the first
+    request's SSE deltas concatenate to its final text."""
+    import queue
+
+    eng = _tiny_engine(extra_args=("--continuous", "2", "--decode_chunk", "2"))
+    q: queue.Queue = queue.Queue()
+    ra = eng.submit([eng.tok("streaming row", add_bos=True)], max_tokens=14,
+                    temperature=0.0, top_k=0, top_p=1.0, stream_q=q)
+    first = q.get(timeout=300)  # A is mid-decode now
+    rb = eng.submit([eng.tok("late joiner", add_bos=True)], max_tokens=6,
+                    temperature=0.0, top_k=0, top_p=1.0)
+    assert rb.event.wait(timeout=300) and rb.error is None
+    assert ra.event.wait(timeout=300) and ra.error is None
+    pieces = "".join(first)
+    while True:
+        d = q.get(timeout=60)
+        if d is None:
+            break
+        pieces += "".join(d)
+    assert pieces == ra.texts[0]
+    solo = eng.complete(["late joiner"], max_tokens=6, temperature=0.0, top_k=0, top_p=1.0)
+    assert solo[0] == rb.texts and rb.reasons[0] in ("stop", "length")
+
+
 def test_engine_streaming_deltas_concatenate_to_final():
     """submit(stream_q=...): per-chunk text deltas, a None sentinel, and the final
     texts/reasons on the request; concatenated deltas == final text."""

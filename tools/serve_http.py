@@ -44,6 +44,19 @@ def next_multiple(x: int, n: int) -> int:
     return (x + n - 1) // n * n
 
 
+def stream_safe(text: str) -> str:
+    """Hold back a possibly-incomplete trailing character. Token-by-token decode of
+    a partial UTF-8 sequence yields U+FFFD replacement chars that MERGE into one
+    real character (or even shrink the string) once the remaining bytes arrive —
+    streamed deltas must only ever extend the text, so the undecodable tail waits
+    for the next chunk (the final flush emits it verbatim if it never completes)."""
+    n = 0
+    while text and text[-1] == "�" and n < 3:
+        text = text[:-1]
+        n += 1
+    return text
+
+
 def next_pow2(x: int) -> int:
     return 1 << (x - 1).bit_length()
 
@@ -94,6 +107,20 @@ class Engine:
         self.seed = args.seed
         self.generate_calls = 0  # observability: compiled-batch invocations
 
+        self.sched = None
+        if getattr(args, "continuous", 0):
+            assert self.draft_params is None, (
+                "--continuous and speculative serving are mutually exclusive (the "
+                "speculative path owns its own verify batching)"
+            )
+            from llama_x_tpu.serve.continuous import ContinuousScheduler
+
+            self.sched = ContinuousScheduler(
+                self.params, self.config, n_slots=args.continuous,
+                chunk_size=args.decode_chunk or 16,
+                prompt_multiple=args.prompt_multiple, cache_dtype=self.cache_dtype,
+                pad_id=self.tok.pad_id, seed=args.seed,
+            )
         self._queue: list[_Request] = []
         self._cond = threading.Condition()
         self._worker = threading.Thread(target=self._run_worker, daemon=True)
@@ -160,10 +187,83 @@ class Engine:
         sig = (temperature, top_k, top_p, min_p,
                self.tok.eos_id if eos_id is None else eos_id)
         req = _Request(rows, max_tokens, sig, stream_q=stream_q)
+        if self.sched is not None:
+            return self._submit_continuous(req)
         with self._cond:
             self._queue.append(req)
             self._cond.notify()
         return req
+
+    # ---- continuous-batching side (--continuous N): each row becomes a scheduler
+    # slot tenant; a collector thread reassembles the request-level contract --------
+
+    def _submit_continuous(self, req: _Request) -> _Request:
+        import queue
+
+        class _Tagged:  # route every row's chunk deltas into ONE multiplexed queue
+            def __init__(self, q, i):
+                self.q, self.i = q, i
+
+            def put(self, item):
+                self.q.put((self.i, item))
+
+        temperature, top_k, top_p, min_p, eos_id = req.sig
+        mux: queue.Queue = queue.Queue()
+        handles = [
+            self.sched.submit(
+                row, req.max_tokens, sampling=(temperature, top_k, top_p, min_p),
+                eos_id=eos_id, stream_q=_Tagged(mux, i),
+            )
+            for i, row in enumerate(req.rows)
+        ]
+        threading.Thread(
+            target=self._collect_continuous, args=(req, handles, mux, eos_id), daemon=True
+        ).start()
+        return req
+
+    def _collect_continuous(self, req: _Request, handles, mux, eos_id: int):
+        """Assemble texts/counts/reasons (and per-chunk text deltas for streaming
+        requests) from the scheduler's per-row token streams."""
+        try:
+            n = len(handles)
+            toks: list[list[int]] = [[] for _ in range(n)]
+            prev = [""] * n
+            live = n
+            while live:
+                i, item = mux.get()
+                if item is None:
+                    live -= 1
+                    continue
+                toks[i].extend(item)
+                if req.stream_q is not None:
+                    text = stream_safe(self.tok.decode(
+                        [t for t in toks[i] if t not in (self.tok.pad_id, eos_id)]))
+                    deltas = [""] * n
+                    deltas[i] = text[len(prev[i]):]
+                    prev[i] = text
+                    if any(deltas):
+                        req.stream_q.put(deltas)
+            for h in handles:
+                h.event.wait()
+                if h.error is not None:
+                    raise h.error
+            kept = [[t for t in h.tokens if t not in (self.tok.pad_id, eos_id)]
+                    for h in handles]
+            req.texts = [self.tok.decode(k) for k in kept]
+            if req.stream_q is not None:
+                # flush what stream_safe held back (an incomplete tail that never
+                # completed, or the last merged character)
+                finals = [t[len(p):] for t, p in zip(req.texts, prev)]
+                if any(finals):
+                    req.stream_q.put(finals)
+            req.counts = [len(k) for k in kept]
+            req.reasons = [h.finish_reason for h in handles]
+        except Exception as e:  # noqa: BLE001 — deliver to the waiter
+            req.error = e
+        finally:
+            if req.stream_q is not None:
+                req.stream_q.put(None)
+            req.event.set()
 
     def complete(self, prompts: list[str], max_tokens: int, temperature: float,
                  top_k: int, top_p: float, min_p: float = 0.0):
@@ -474,6 +574,12 @@ def build_parser():
                         help="compiled prompt-length granularity (executable-cache buckets)")
     parser.add_argument("--batch_window_ms", type=int, default=5,
                         help="coalescing window: how long the worker waits for more requests")
+    parser.add_argument("--continuous", type=int, default=0,
+                        help="continuous batching with this many decode slots: requests "
+                        "join/leave the running batch at chunk boundaries (late arrivals "
+                        "never wait for earlier batches; per-row sampling/eos/budget are "
+                        "traced, so traffic mixes share ONE compiled step). 0 = coalescing "
+                        "batches (the default path). Not combinable with a draft model.")
     parser.add_argument("--decode_chunk", type=int, default=32,
                         help="decode in resumable chunks of this many tokens: streams SSE "
                         "deltas and stops early once every row is done (0 = one fused "
