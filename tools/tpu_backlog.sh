@@ -56,7 +56,17 @@ step profile_8b 3000 python tools/profile_8b.py
 # 7. remat-policy candidate: does flash_proj_q8 beat the flash_proj default?
 step bench_q8 5400 python bench.py --remat flash_proj_q8
 
-# 8. full knob ablation table (slowest: compiles every variant)
+# 8. vision recipe sweep (VERDICT #7): CPU runs cost ~45 min/config, TPU ~2 min.
+# base800 (patch6+newline, 800 steps) measured 0.25 exact-match with loss still
+# falling — push steps and capacity toward the >= 0.5 disjoint-eval target.
+step vision_base3k 2400 python tools/vision_synthetic.py --steps 3000 --skip_save \
+  --out_dir runs/vision_synthetic/sweep/base3000
+step vision_big 2400 python tools/vision_synthetic.py --steps 3000 --embed_dim 384 \
+  --num_layers 6 --skip_save --out_dir runs/vision_synthetic/sweep/big3000
+step vision_lowlr 2400 python tools/vision_synthetic.py --steps 4000 --lr 1e-3 \
+  --skip_save --out_dir runs/vision_synthetic/sweep/lowlr4000
+
+# 9. full knob ablation table (slowest: compiles every variant)
 step ablate_8b 9000 python tools/ablate_8b.py
 
 echo "BACKLOG DONE $(date +%H:%M:%S)" >> $LOG/driver.log
