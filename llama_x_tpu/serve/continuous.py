@@ -165,6 +165,74 @@ def admit_row(
     return first, (kv_cache, tok, pos, done, emitted)
 
 
+@functools.partial(jax.jit, static_argnames=("config", "cache_dtype"), donate_argnums=(2,))
+def admit_row_prefix(
+    params: Params,
+    config: llama.LlamaConfig,
+    state,
+    slot: jnp.ndarray,
+    prefix_kv,                # cache tree sliced to [L, 1, Hkv, P0, (hd)] — a harvested prefix
+    prefix_len: jnp.ndarray,  # scalar i32 == P0 (the slice width; traced for positions)
+    suffix: jnp.ndarray,      # [1, Sb] right-padded suffix (the tokens after the prefix)
+    suffix_len: jnp.ndarray,  # scalar i32: the suffix's real length (>= 1)
+    key: jax.Array,
+    sampling: jnp.ndarray,
+    eos_id: jnp.ndarray,
+    cache_dtype=jnp.bfloat16,
+):
+    """Admit a row whose first ``prefix_len`` tokens already have cached KV: install
+    the prefix KV and prefill ONLY the suffix against it. → (first_token, new state).
+
+    Causality makes prefix KV reusable verbatim: k/v at position i depend only on
+    tokens <= i, so any prompt sharing those tokens computes the identical values —
+    this skips the prefix's trunk GEMMs and attention entirely (the TTFT win for
+    shared system prompts). The suffix runs through the decode-from-cache path
+    (models/llama.py attention, prefill=False): fresh k/v scatter in at positions
+    [P0, P0+Sb) and queries attend over the whole row cache under the causal
+    q_positions/kv_len oracle — for Sb > 8 that is the XLA fallback's O(Sb * S_max)
+    masked attention, which only touches the admission, never the decode loop.
+    Compiles once per (P0, Sb) pair; P0 is bucket-aligned by the harvest policy so
+    the pair count stays O(prompt buckets^2) with ~one live system prompt in practice.
+    """
+    kv_cache, tok, pos, done, emitted = state
+    row_cache = llama.init_kv_cache(config, 1, dtype=cache_dtype)
+    row_cache = jax.tree.map(
+        lambda b, s: jax.lax.dynamic_update_slice(b, s.astype(b.dtype), (0,) * b.ndim),
+        row_cache, prefix_kv,
+    )
+    Sb = suffix.shape[1]
+    x = jnp.take(params["tok_embeddings"]["weight"], suffix, axis=0)
+    qpos = prefix_len.astype(jnp.int32) + jnp.arange(Sb, dtype=jnp.int32)
+    total = (prefix_len + suffix_len).astype(jnp.int32)
+    mask = MaskInfo(causal=True, q_positions=qpos[None, :], kv_len=total[None])
+    h, row_cache = llama.trunk(params, config, x, mask, row_cache, input_pos=qpos)
+    h_last = jax.lax.dynamic_slice_in_dim(h, suffix_len - 1, 1, axis=1)
+    logits = llama.head(params, config, h_last)[:, 0]
+    t, k, p, mp = sampling[0], sampling[1], sampling[2], sampling[3]
+    first = sample_logits_rows(
+        key, logits, t[None], k.astype(jnp.int32)[None], p[None], mp[None]
+    )[0]
+
+    kv_cache = _scatter_row(kv_cache, row_cache, slot)
+    tok = tok.at[slot].set(first)
+    pos = pos.at[slot].set(total)
+    done = done.at[slot].set(first == eos_id)
+    emitted = emitted.at[slot].set(1)
+    return first, (kv_cache, tok, pos, done, emitted)
+
+
+@functools.partial(jax.jit, static_argnames=("p0",))
+def _slice_prefix(kv_cache, slot: jnp.ndarray, p0: int):
+    """Read lane ``slot``'s first ``p0`` cache positions out of the shared cache as a
+    [L, 1, Hkv, p0, (hd)] tree (both cache forms; position axis is 3 on every leaf)."""
+    def leaf(b):
+        sizes = tuple(1 if i == 1 else (p0 if i == 3 else s) for i, s in enumerate(b.shape))
+        starts = (0, slot) + (0,) * (b.ndim - 2)
+        return jax.lax.dynamic_slice(b, starts, sizes)
+
+    return jax.tree.map(leaf, kv_cache)
+
+
 @functools.partial(jax.jit, static_argnames=("config", "pad_id"), donate_argnums=(2,))
 def decode_rows(
     params: Params,
@@ -253,11 +321,23 @@ class ContinuousScheduler:
         cache_dtype=jnp.bfloat16,
         pad_id: int = 0,
         seed: int = 0,
+        prefix_cache: int = 0,
     ):
         self.params, self.config = params, config
         self.n_slots, self.chunk_size = n_slots, chunk_size
         self.prompt_multiple = prompt_multiple
         self.cache_dtype, self.pad_id = cache_dtype, pad_id
+        # automatic prefix caching (prefix_cache = max cached entries, 0 = off):
+        # after each admission the prompt's longest bucket-aligned PROPER prefix
+        # [0, P0) is sliced out of the slot's cache lane and registered under its
+        # token ids; a later prompt starting with those exact tokens admits through
+        # admit_row_prefix (prefill cost O(suffix), not O(prompt)). Worker-thread
+        # only — no lock. Values: (cache tree, P0, lru counter).
+        self.prefix_cap = prefix_cache
+        self.prefixes: dict[tuple[int, ...], list] = {}
+        self._lru = 0
+        self.prefix_hits = 0
+        self.prefix_tokens_reused = 0
         self.state = init_state(config, n_slots, cache_dtype)
         self.key = jax.random.PRNGKey(seed)
         # host mirrors of the per-slot row metadata fed to decode_rows each chunk
@@ -305,20 +385,69 @@ class ContinuousScheduler:
         self.key, sub = jax.random.split(self.key)
         return sub
 
+    def _match_prefix(self, ids: list[int]) -> tuple[int, ...] | None:
+        """Longest registered key that is a PROPER prefix of ids (>= 1 suffix token
+        must remain — the admission needs a last position to sample from)."""
+        best = None
+        for key in self.prefixes:
+            n = len(key)
+            if n < len(ids) and (best is None or n > len(best)) and tuple(ids[:n]) == key:
+                best = key
+        return best
+
+    def _harvest_prefix(self, slot: int, ids: list[int]):
+        """Register the prompt's longest bucket-aligned proper prefix from the
+        freshly admitted slot lane (valid: admission wrote positions [0, P))."""
+        p0 = (len(ids) - 1) // self.prompt_multiple * self.prompt_multiple
+        if p0 < self.prompt_multiple:
+            return
+        key = tuple(ids[:p0])
+        self._lru += 1
+        if key in self.prefixes:
+            self.prefixes[key][2] = self._lru
+            return
+        tree = _slice_prefix(self.state[0], jnp.asarray(slot, jnp.int32), p0)
+        self.prefixes[key] = [tree, p0, self._lru]
+        while len(self.prefixes) > self.prefix_cap:
+            oldest = min(self.prefixes, key=lambda k: self.prefixes[k][2])
+            del self.prefixes[oldest]
+
     def _admit(self, slot: int, row: RowHandle):
         P = len(row.ids)
-        Pb = max(self.prompt_multiple, -(-P // self.prompt_multiple) * self.prompt_multiple)
-        Pb = min(Pb, self.config.max_seq_len - 1)
-        padded = np.full((1, Pb), self.pad_id, np.int32)
-        padded[0, :P] = row.ids
         t, k, p, mp = row.sampling
-        first, self.state = admit_row(
-            self.params, self.config, self.state,
-            jnp.asarray(slot, jnp.int32), jnp.asarray(padded),
-            jnp.asarray(P, jnp.int32), self._split(),
-            jnp.asarray([t, k, p, mp], jnp.float32),
-            jnp.asarray(row.eos_id, jnp.int32), cache_dtype=self.cache_dtype,
+        common = dict(cache_dtype=self.cache_dtype)
+        args = (
+            self.params, self.config, self.state, jnp.asarray(slot, jnp.int32),
         )
+        hit = self._match_prefix(row.ids) if self.prefix_cap else None
+        if hit is not None:
+            tree, p0, _ = self.prefixes[hit]
+            self.prefixes[hit][2] = self._lru = self._lru + 1
+            suf = row.ids[p0:]
+            Sb = -(-len(suf) // self.prompt_multiple) * self.prompt_multiple
+            Sb = min(Sb, self.config.max_seq_len - p0)
+            padded = np.full((1, Sb), self.pad_id, np.int32)
+            padded[0, : len(suf)] = suf
+            first, self.state = admit_row_prefix(
+                *args, tree, jnp.asarray(p0, jnp.int32), jnp.asarray(padded),
+                jnp.asarray(len(suf), jnp.int32), self._split(),
+                jnp.asarray([t, k, p, mp], jnp.float32),
+                jnp.asarray(row.eos_id, jnp.int32), **common,
+            )
+            self.prefix_hits += 1
+            self.prefix_tokens_reused += p0
+        else:
+            Pb = max(self.prompt_multiple, -(-P // self.prompt_multiple) * self.prompt_multiple)
+            Pb = min(Pb, self.config.max_seq_len - 1)
+            padded = np.full((1, Pb), self.pad_id, np.int32)
+            padded[0, :P] = row.ids
+            first, self.state = admit_row(
+                *args, jnp.asarray(padded), jnp.asarray(P, jnp.int32), self._split(),
+                jnp.asarray([t, k, p, mp], jnp.float32),
+                jnp.asarray(row.eos_id, jnp.int32), **common,
+            )
+        if self.prefix_cap:
+            self._harvest_prefix(slot, row.ids)
         self.rows[slot] = row
         self.temp[slot], self.topk[slot] = t, k
         self.topp[slot], self.minp[slot] = p, mp

@@ -146,6 +146,72 @@ def test_continuous_per_row_eos(model):
         sched.close()
 
 
+def test_prefix_cache_hit_is_exact(model):
+    """Automatic prefix caching: prompt B shares A's first 32 tokens (2 buckets), so
+    B admits through the cached-prefix path (prefill touches only the suffix) — its
+    greedy output must still equal its own unbatched generate(). LRU accounting and
+    an exact-repeat (proper-prefix match, suffix = the last sub-bucket) are pinned."""
+    params, config = model
+    sched = ContinuousScheduler(params, config, n_slots=2, chunk_size=4,
+                                prompt_multiple=16, cache_dtype=jnp.float32,
+                                prefix_cache=4)
+    try:
+        base = _prompts(config, [37], seed=51)[0]   # harvests ids[:32]
+        other = base[:32] + _prompts(config, [9], seed=52)[0]  # same 2-bucket prefix
+        ra = sched.submit(base, max_tokens=8)
+        assert ra.event.wait(timeout=300) and ra.error is None
+        assert sched.prefix_hits == 0 and len(sched.prefixes) == 1
+        rb = sched.submit(other, max_tokens=8)
+        rc = sched.submit(list(base), max_tokens=8)  # exact repeat: suffix = ids[32:]
+        assert rb.event.wait(timeout=300) and rb.error is None
+        assert rc.event.wait(timeout=300) and rc.error is None
+        assert sched.prefix_hits == 2 and sched.prefix_tokens_reused == 64
+        assert ra.tokens == _isolated(params, config, base, 8)
+        assert rb.tokens == _isolated(params, config, other, 8)
+        assert rc.tokens == ra.tokens
+        # harvest of `other` dedupes into the same 32-token key
+        assert len(sched.prefixes) == 1
+    finally:
+        sched.close()
+
+
+def test_prefix_cache_lru_eviction(model):
+    """prefix_cache=1: a second distinct prefix evicts the first; resubmitting the
+    first prompt is a miss (and re-harvests), still exact."""
+    params, config = model
+    sched = ContinuousScheduler(params, config, n_slots=2, chunk_size=4,
+                                prompt_multiple=16, cache_dtype=jnp.float32,
+                                prefix_cache=1)
+    try:
+        pa, pb = _prompts(config, [20, 21], seed=61)
+        for p in (pa, pb, pa):
+            r = sched.submit(p, max_tokens=6)
+            assert r.event.wait(timeout=300) and r.error is None
+            assert r.tokens == _isolated(params, config, p, 6)
+        assert sched.prefix_hits == 0 and len(sched.prefixes) == 1
+    finally:
+        sched.close()
+
+
+def test_prefix_cache_int8(model):
+    """Prefix slices of the quantized cache are (data, scale) trees; the hit path
+    must match generate(cache_dtype=int8) exactly."""
+    params, config = model
+    sched = ContinuousScheduler(params, config, n_slots=2, chunk_size=4,
+                                prompt_multiple=16, cache_dtype=jnp.int8,
+                                prefix_cache=2)
+    try:
+        base = _prompts(config, [35], seed=71)[0]
+        other = base[:32] + _prompts(config, [5], seed=72)[0]
+        for p, want_hits in ((base, 0), (other, 1)):
+            r = sched.submit(p, max_tokens=6)
+            assert r.event.wait(timeout=300) and r.error is None
+            assert r.tokens == _isolated(params, config, p, 6, cache_dtype=jnp.int8)
+            assert sched.prefix_hits == want_hits
+    finally:
+        sched.close()
+
+
 def test_continuous_int8_cache(model):
     """The quantized-cache form admits/scatters (data, scale) tuples and matches
     generate(cache_dtype=int8) greedily."""

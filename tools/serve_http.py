@@ -120,6 +120,7 @@ class Engine:
                 chunk_size=args.decode_chunk or 16,
                 prompt_multiple=args.prompt_multiple, cache_dtype=self.cache_dtype,
                 pad_id=self.tok.pad_id, seed=args.seed,
+                prefix_cache=getattr(args, "prefix_cache", 0),
             )
         self._queue: list[_Request] = []
         self._cond = threading.Condition()
@@ -580,6 +581,11 @@ def build_parser():
                         "never wait for earlier batches; per-row sampling/eos/budget are "
                         "traced, so traffic mixes share ONE compiled step). 0 = coalescing "
                         "batches (the default path). Not combinable with a draft model.")
+    parser.add_argument("--prefix_cache", type=int, default=0,
+                        help="with --continuous: automatic prefix caching — keep KV for up "
+                        "to this many bucket-aligned prompt prefixes and admit prompts that "
+                        "share one by prefilling only the suffix (TTFT win for repeated "
+                        "system prompts). 0 = off.")
     parser.add_argument("--decode_chunk", type=int, default=32,
                         help="decode in resumable chunks of this many tokens: streams SSE "
                         "deltas and stops early once every row is done (0 = one fused "
