@@ -221,6 +221,77 @@ def admit_row_prefix(
     return first, (kv_cache, tok, pos, done, emitted)
 
 
+@functools.partial(jax.jit, static_argnames=("config", "first"), donate_argnums=(2,))
+def prefill_chunk(
+    params: Params,
+    config: llama.LlamaConfig,
+    row_cache,
+    chunk: jnp.ndarray,      # [1, C] fixed-width slice of the prompt (last one padded)
+    start: jnp.ndarray,      # scalar i32: position of chunk[0]
+    n_valid: jnp.ndarray,    # scalar i32: real tokens in this chunk (== C except last)
+    first: bool,
+):
+    """One chunk of an incremental prefill into a single-row cache. → (row_cache,
+    h_last [1, 1, D]) where h_last is the hidden state at the chunk's last VALID
+    position (the host uses it only on the final chunk, to sample the first token).
+
+    ``first`` (static): position-0 chunks attend over their fresh K/V on the flash
+    path (admit_row's O(C^2) form); continuation chunks attend over the whole row
+    cache under the causal q_positions/kv_len oracle (admit_row_prefix's form).
+    Junk K/V from the last chunk's pad positions lands at [start+n_valid, start+C)
+    — beyond the prompt, where the decode loop overwrites each lane on the exact
+    step it first becomes visible (the ragged-generate invariant).
+
+    Fixed chunk width means exactly TWO executables per admission engine regardless
+    of traffic (first / continuation), and the device is never held longer than one
+    chunk's prefill — co-tenants get a decode chunk between every pair of prefill
+    chunks (bounded ITL; the whole point vs one O(P) admission dispatch)."""
+    x = jnp.take(params["tok_embeddings"]["weight"], chunk, axis=0)
+    C = chunk.shape[1]
+    if first:
+        mask = MaskInfo(causal=True)
+        h, row_cache = llama.trunk(
+            params, config, x, mask, row_cache,
+            input_pos=jnp.arange(C, dtype=jnp.int32), prefill=True,
+        )
+    else:
+        qpos = start.astype(jnp.int32) + jnp.arange(C, dtype=jnp.int32)
+        mask = MaskInfo(causal=True, q_positions=qpos[None, :], kv_len=(start + n_valid)[None])
+        h, row_cache = llama.trunk(params, config, x, mask, row_cache, input_pos=qpos)
+    h_last = jax.lax.dynamic_slice_in_dim(h, n_valid - 1, 1, axis=1)
+    return row_cache, h_last
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def sample_first(params: Params, config: llama.LlamaConfig, h_last, key, sampling):
+    logits = llama.head(params, config, h_last)[:, 0]
+    t, k, p, mp = sampling[0], sampling[1], sampling[2], sampling[3]
+    return sample_logits_rows(
+        key, logits, t[None], k.astype(jnp.int32)[None], p[None], mp[None]
+    )[0]
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def install_row(state, slot, row_cache, first, total, eos_id):
+    """Scatter a fully prefilled row cache into lane ``slot`` and mark it live."""
+    kv_cache, tok, pos, done, emitted = state
+    kv_cache = _scatter_row(kv_cache, row_cache, slot)
+    tok = tok.at[slot].set(first)
+    pos = pos.at[slot].set(total.astype(jnp.int32))
+    done = done.at[slot].set(first == eos_id)
+    emitted = emitted.at[slot].set(1)
+    return kv_cache, tok, pos, done, emitted
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _seed_prefix(row_cache, prefix_kv):
+    """Install a harvested prefix tree at positions [0, P0) of a fresh row cache."""
+    return jax.tree.map(
+        lambda b, s: jax.lax.dynamic_update_slice(b, s.astype(b.dtype), (0,) * b.ndim),
+        row_cache, prefix_kv,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("p0",))
 def _slice_prefix(kv_cache, slot: jnp.ndarray, p0: int):
     """Read lane ``slot``'s first ``p0`` cache positions out of the shared cache as a
@@ -302,11 +373,20 @@ class RowHandle:
         return "stop" if (self.tokens and self.tokens[-1] == self.eos_id) else "length"
 
 
+class _Admitting:
+    """A slot mid-way through a chunked prefill (prefill_chunk > 0): its private
+    row cache plus the next prompt position to run."""
+
+    def __init__(self, row: RowHandle, cache, start: int):
+        self.row, self.cache, self.next = row, cache, start
+
+
 class ContinuousScheduler:
     """Admit-between-chunks serving loop over a fixed slot array.
 
     submit() is thread-safe and non-blocking; a worker thread owns the device state
-    and runs: admit queued rows into free slots → decode one chunk over all slots →
+    and runs: admit queued rows into free slots → advance one prefill chunk per
+    admitting slot (chunked-prefill mode) → decode one chunk over all slots →
     deliver tokens / free finished slots → repeat (sleeping when fully idle).
     """
 
@@ -322,11 +402,21 @@ class ContinuousScheduler:
         pad_id: int = 0,
         seed: int = 0,
         prefix_cache: int = 0,
+        prefill_chunk: int = 0,
     ):
         self.params, self.config = params, config
         self.n_slots, self.chunk_size = n_slots, chunk_size
         self.prompt_multiple = prompt_multiple
         self.cache_dtype, self.pad_id = cache_dtype, pad_id
+        # chunked prefill (prefill_chunk = chunk width in tokens, 0 = off): an
+        # admission never holds the device longer than one chunk — long prompts
+        # prefill incrementally, interleaved with everyone else's decode chunks
+        # (bounded inter-token latency for co-tenants instead of a head-of-line
+        # O(P) prefill stall). Also caps executables at TWO per admission engine
+        # (first/continuation chunk) instead of one per prompt bucket.
+        self.prefill_chunk = prefill_chunk
+        self.admitting: dict[int, _Admitting] = {}
+        self.prefill_dispatches = 0
         # automatic prefix caching (prefix_cache = max cached entries, 0 = off):
         # after each admission the prompt's longest bucket-aligned PROPER prefix
         # [0, P0) is sliced out of the slot's cache lane and registered under its
@@ -446,19 +536,67 @@ class ContinuousScheduler:
                 jnp.asarray([t, k, p, mp], jnp.float32),
                 jnp.asarray(row.eos_id, jnp.int32), **common,
             )
-        if self.prefix_cap:
-            self._harvest_prefix(slot, row.ids)
+        self._activate(slot, row, int(first))
+
+    def _start_prefill(self, slot: int, row: RowHandle):
+        """Chunked-prefill admission: seed a private row cache (from a prefix hit
+        when one matches) and queue the slot for incremental chunks."""
+        row_cache = llama.init_kv_cache(self.config, 1, dtype=self.cache_dtype)
+        start = 0
+        hit = self._match_prefix(row.ids) if self.prefix_cap else None
+        if hit is not None:
+            tree, p0, _ = self.prefixes[hit]
+            self.prefixes[hit][2] = self._lru = self._lru + 1
+            row_cache = _seed_prefix(row_cache, tree)
+            start = p0
+            self.prefix_hits += 1
+            self.prefix_tokens_reused += p0
+        self.admitting[slot] = _Admitting(row, row_cache, start)
+
+    def _advance_prefill(self, slot: int):
+        """Run ONE prefill chunk for an admitting slot; on the last chunk, sample
+        the first token, install the row cache into the slot lane, and go live."""
+        st = self.admitting[slot]
+        ids, C = st.row.ids, self.prefill_chunk
+        start, end = st.next, min(st.next + self.prefill_chunk, len(ids))
+        padded = np.full((1, C), self.pad_id, np.int32)
+        padded[0, : end - start] = ids[start:end]
+        st.cache, h_last = prefill_chunk(
+            self.params, self.config, st.cache, jnp.asarray(padded),
+            jnp.asarray(start, jnp.int32), jnp.asarray(end - start, jnp.int32),
+            first=(start == 0),
+        )
+        self.prefill_dispatches += 1
+        st.next = end
+        if end == len(ids):
+            t, k, p, mp = st.row.sampling
+            first = sample_first(
+                self.params, self.config, h_last, self._split(),
+                jnp.asarray([t, k, p, mp], jnp.float32),
+            )
+            self.state = install_row(
+                self.state, jnp.asarray(slot, jnp.int32), st.cache, first,
+                jnp.asarray(len(ids), jnp.int32), jnp.asarray(st.row.eos_id, jnp.int32),
+            )
+            del self.admitting[slot]
+            self._activate(slot, st.row, int(first))
+
+    def _activate(self, slot: int, row: RowHandle, first: int):
+        """Common go-live bookkeeping once a row's cache lane and first token exist."""
         self.rows[slot] = row
+        t, k, p, mp = row.sampling
         self.temp[slot], self.topk[slot] = t, k
         self.topp[slot], self.minp[slot] = p, mp
         self.eos[slot] = row.eos_id
         # decode budget capped by cache capacity (prefill took P slots, first token
         # sits at P — the chunk scan writes from P+1 on)
-        self.budget[slot] = min(row.max_tokens, self.config.max_seq_len - P)
+        self.budget[slot] = min(row.max_tokens, self.config.max_seq_len - len(row.ids))
         self.emitted_seen[slot] = 1
         self.admissions += 1
-        row.tokens.append(int(first))
-        self._deliver(row, [int(first)])
+        row.tokens.append(first)
+        self._deliver(row, [first])
+        if self.prefix_cap:
+            self._harvest_prefix(slot, row.ids)
         if row.tokens[-1] == row.eos_id or len(row.tokens) >= self.budget[slot]:
             # the lane freezes on its own within a step (eos set done at admit;
             # budget trips via emitted >= budget) — free the slot immediately
@@ -482,7 +620,7 @@ class ContinuousScheduler:
         try:
             while True:
                 with self.cond:
-                    while (not self._stop and not self.queue
+                    while (not self._stop and not self.queue and not self.admitting
                            and all(r is None for r in self.rows)):
                         self.cond.wait()
                     if self._stop:
@@ -491,11 +629,18 @@ class ContinuousScheduler:
                     self.queue = []
                 # admit into free slots; overflow returns to the queue
                 for slot in range(self.n_slots):
-                    if pending and self.rows[slot] is None:
-                        self._admit(slot, pending.pop(0))
+                    if pending and self.rows[slot] is None and slot not in self.admitting:
+                        if self.prefill_chunk:
+                            self._start_prefill(slot, pending.pop(0))
+                        else:
+                            self._admit(slot, pending.pop(0))
                 if pending:
                     with self.cond:
                         self.queue = pending + self.queue
+                # one prefill chunk per admitting slot per iteration: co-tenants get
+                # a decode chunk between every pair of prefill chunks
+                for slot in list(self.admitting):
+                    self._advance_prefill(slot)
                 if all(r is None for r in self.rows):
                     continue
 
@@ -525,8 +670,10 @@ class ContinuousScheduler:
         except Exception as e:  # worker must never die silently
             with self.cond:
                 self.dead = e
-                broken = [r for r in self.rows if r is not None] + self.queue
+                broken = ([r for r in self.rows if r is not None]
+                          + [st.row for st in self.admitting.values()] + self.queue)
                 self.rows = [None] * self.n_slots
+                self.admitting = {}
                 self.queue = []
             for row in broken:
                 row.error = e

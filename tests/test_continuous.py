@@ -212,6 +212,65 @@ def test_prefix_cache_int8(model):
         sched.close()
 
 
+def test_chunked_prefill_exact(model):
+    """prefill_chunk=16: a 40-token prompt admits over 3 chunks and a 10-token one
+    over 1, interleaved with the other row's decode — outputs must equal unbatched
+    generate() and the dispatch accounting must show exactly 4 prefill chunks."""
+    params, config = model
+    sched = ContinuousScheduler(params, config, n_slots=2, chunk_size=2,
+                                prompt_multiple=16, cache_dtype=jnp.float32,
+                                prefill_chunk=16)
+    try:
+        pa, pb = _prompts(config, [10, 40], seed=81)
+        ra = sched.submit(pa, max_tokens=12)
+        rb = sched.submit(pb, max_tokens=8)
+        assert ra.event.wait(timeout=300) and rb.event.wait(timeout=300)
+        assert ra.error is None and rb.error is None
+        assert ra.tokens == _isolated(params, config, pa, 12)
+        assert rb.tokens == _isolated(params, config, pb, 8)
+        assert sched.prefill_dispatches == 4  # ceil(10/16) + ceil(40/16)
+    finally:
+        sched.close()
+
+
+def test_chunked_prefill_prefix_hit(model):
+    """Chunked prefill composes with prefix caching: the second prompt's cached
+    32-token prefix is seeded, so only its 8-token suffix runs (1 chunk)."""
+    params, config = model
+    sched = ContinuousScheduler(params, config, n_slots=2, chunk_size=4,
+                                prompt_multiple=16, cache_dtype=jnp.float32,
+                                prefix_cache=2, prefill_chunk=16)
+    try:
+        base = _prompts(config, [40], seed=91)[0]
+        other = base[:32] + _prompts(config, [8], seed=92)[0]
+        ra = sched.submit(base, max_tokens=6)
+        assert ra.event.wait(timeout=300) and ra.error is None
+        d0 = sched.prefill_dispatches
+        rb = sched.submit(other, max_tokens=6)
+        assert rb.event.wait(timeout=300) and rb.error is None
+        assert sched.prefix_hits == 1 and sched.prefill_dispatches == d0 + 1
+        assert ra.tokens == _isolated(params, config, base, 6)
+        assert rb.tokens == _isolated(params, config, other, 6)
+    finally:
+        sched.close()
+
+
+def test_chunked_prefill_int8(model):
+    """Chunked admission over the quantized cache (continuation chunks write
+    (data, scale) rows) matches generate(cache_dtype=int8)."""
+    params, config = model
+    sched = ContinuousScheduler(params, config, n_slots=2, chunk_size=4,
+                                prompt_multiple=16, cache_dtype=jnp.int8,
+                                prefill_chunk=16)
+    try:
+        p = _prompts(config, [37], seed=101)[0]
+        r = sched.submit(p, max_tokens=6)
+        assert r.event.wait(timeout=300) and r.error is None
+        assert r.tokens == _isolated(params, config, p, 6, cache_dtype=jnp.int8)
+    finally:
+        sched.close()
+
+
 def test_continuous_int8_cache(model):
     """The quantized-cache form admits/scatters (data, scale) tuples and matches
     generate(cache_dtype=int8) greedily."""

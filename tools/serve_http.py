@@ -121,6 +121,7 @@ class Engine:
                 prompt_multiple=args.prompt_multiple, cache_dtype=self.cache_dtype,
                 pad_id=self.tok.pad_id, seed=args.seed,
                 prefix_cache=getattr(args, "prefix_cache", 0),
+                prefill_chunk=getattr(args, "prefill_chunk", 0),
             )
         self._queue: list[_Request] = []
         self._cond = threading.Condition()
@@ -586,6 +587,11 @@ def build_parser():
                         "to this many bucket-aligned prompt prefixes and admit prompts that "
                         "share one by prefilling only the suffix (TTFT win for repeated "
                         "system prompts). 0 = off.")
+    parser.add_argument("--prefill_chunk", type=int, default=0,
+                        help="with --continuous: chunked prefill — admissions run this many "
+                        "prompt tokens per dispatch, interleaved with co-tenants' decode "
+                        "chunks (bounds their inter-token latency against long-prompt "
+                        "arrivals). 0 = one-shot prefill per admission.")
     parser.add_argument("--decode_chunk", type=int, default=32,
                         help="decode in resumable chunks of this many tokens: streams SSE "
                         "deltas and stops early once every row is done (0 = one fused "
