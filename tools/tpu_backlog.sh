@@ -34,6 +34,12 @@ step decode_parity 1800 python tools/tpu_decode_parity.py
 # 3. machinery speculative bench rerun (small-Sq verify now on the kernel path)
 step bench_speculative 3000 python tools/bench_speculative.py
 
+# 3b. continuous-batching value on hardware: staggered-traffic throughput/TTFT,
+# prefix-cache TTFT, chunked-prefill ITL (1b int8 weights; 8b is the capacity point)
+step bench_continuous 3600 python tools/bench_continuous.py
+step bench_continuous_8b 4800 python tools/bench_continuous.py --geometry 8b \
+  --out runs/bench_serve/continuous_8b.json
+
 # 4. trained draft/target pair (VERDICT #3): train both on the counting task, then bench
 step train_spec_target 4800 python train_metamathqa.py --synthetic 2048 --synthetic_task count \
   --synthetic_config '{"num_layers":16,"embed_dim":1024,"head_dim":64,"num_heads":16,"num_kv_heads":8,"intermediate_dim":2816}' \
