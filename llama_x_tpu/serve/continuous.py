@@ -53,24 +53,19 @@ Params = dict[str, Any]
 # ---------------------------------------------------------------------------
 
 
-def sample_logits_rows(
-    key: jax.Array,
+def filter_logits_rows(
     logits: jnp.ndarray,
     temperature: jnp.ndarray,
     top_k: jnp.ndarray,
     top_p: jnp.ndarray,
     min_p: jnp.ndarray,
 ) -> jnp.ndarray:
-    """logits [B, V] + per-row params [B] → token ids [B]; temperature==0 rows argmax.
-
-    Mirrors generate.filter_logits exactly, with per-row thresholds: top-k truncates
-    (k=0 → keep all), then min-p relative to the row max, then the nucleus keeps the
-    smallest prefix of the (filtered) distribution whose mass exceeds top_p."""
+    """generate.filter_logits with per-row thresholds: [B, V] f32 filtered logits
+    (softmax of a row == that row's sampling distribution). Order matches the
+    scalar path exactly: top-k truncates (k=0 → keep all), min-p relative to the
+    row max, then the nucleus keeps the smallest prefix whose mass exceeds top_p."""
     B, V = logits.shape
-    lf = logits.astype(jnp.float32)
-    greedy = jnp.argmax(lf, axis=-1).astype(jnp.int32)
-
-    l = lf / jnp.maximum(temperature, 1e-6)[:, None]
+    l = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)[:, None]
     # top-k: per-row k-th largest as the threshold (sort replaces lax.top_k — k is traced)
     desc = jnp.sort(l, axis=-1)[:, ::-1]
     k = jnp.clip(jnp.where(top_k > 0, top_k, V), 1, V).astype(jnp.int32)
@@ -86,7 +81,21 @@ def sample_logits_rows(
     keep = (cum - probs) < top_p[:, None]  # exclusive prefix: top token always kept
     cutoff = jnp.min(jnp.where(keep, desc, jnp.inf), axis=-1, keepdims=True)
     l = jnp.where((top_p < 1.0)[:, None] & (l < cutoff), -jnp.inf, l)
+    return l
 
+
+def sample_logits_rows(
+    key: jax.Array,
+    logits: jnp.ndarray,
+    temperature: jnp.ndarray,
+    top_k: jnp.ndarray,
+    top_p: jnp.ndarray,
+    min_p: jnp.ndarray,
+) -> jnp.ndarray:
+    """logits [B, V] + per-row params [B] → token ids [B]; temperature==0 rows argmax
+    of the RAW logits (exactly the scalar sampler's greedy branch)."""
+    greedy = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+    l = filter_logits_rows(logits, temperature, top_k, top_p, min_p)
     gumbel = jax.random.gumbel(key, l.shape, jnp.float32)
     sampled = jnp.argmax(l + gumbel, axis=-1).astype(jnp.int32)
     return jnp.where(temperature == 0.0, greedy, sampled)
@@ -581,6 +590,11 @@ class ContinuousScheduler:
             del self.admitting[slot]
             self._activate(slot, st.row, int(first))
 
+    def _budget_cap(self, row: RowHandle) -> int:
+        """Decode budget capped by cache capacity (prefill took P slots, the first
+        token sits at P — the chunk scan writes from P+1 on). Subclasses tighten."""
+        return min(row.max_tokens, self.config.max_seq_len - len(row.ids))
+
     def _activate(self, slot: int, row: RowHandle, first: int):
         """Common go-live bookkeeping once a row's cache lane and first token exist."""
         self.rows[slot] = row
@@ -588,9 +602,7 @@ class ContinuousScheduler:
         self.temp[slot], self.topk[slot] = t, k
         self.topp[slot], self.minp[slot] = p, mp
         self.eos[slot] = row.eos_id
-        # decode budget capped by cache capacity (prefill took P slots, first token
-        # sits at P — the chunk scan writes from P+1 on)
-        self.budget[slot] = min(row.max_tokens, self.config.max_seq_len - len(row.ids))
+        self.budget[slot] = self._budget_cap(row)
         self.emitted_seen[slot] = 1
         self.admissions += 1
         row.tokens.append(first)
@@ -615,6 +627,22 @@ class ContinuousScheduler:
             if row.stream_q is not None:
                 row.stream_q.put(None)
             row.event.set()
+
+    def _dispatch_chunk(self):
+        """One decode dispatch over every slot. → (tokens [N, W] np, emitted [N] np,
+        done [N] np). Subclasses substitute their own chunk program (speculative
+        rounds) while keeping the scheduler loop's token-delivery contract: each
+        row's new tokens are the [:emitted_delta] prefix of its tokens row."""
+        keys = jax.random.split(self._split(), self.chunk_size)
+        toks, self.state = decode_rows(
+            self.params, self.config, self.state, keys,
+            jnp.asarray(self.temp), jnp.asarray(self.topk),
+            jnp.asarray(self.topp), jnp.asarray(self.minp),
+            jnp.asarray(self.eos), jnp.asarray(self.budget),
+            pad_id=self.pad_id,
+        )
+        self.dispatches += 1
+        return np.asarray(toks), np.asarray(self.state[4]), np.asarray(self.state[3])
 
     def _run(self):
         try:
@@ -644,18 +672,7 @@ class ContinuousScheduler:
                 if all(r is None for r in self.rows):
                     continue
 
-                keys = jax.random.split(self._split(), self.chunk_size)
-                toks, self.state = decode_rows(
-                    self.params, self.config, self.state, keys,
-                    jnp.asarray(self.temp), jnp.asarray(self.topk),
-                    jnp.asarray(self.topp), jnp.asarray(self.minp),
-                    jnp.asarray(self.eos), jnp.asarray(self.budget),
-                    pad_id=self.pad_id,
-                )
-                self.dispatches += 1
-                toks = np.asarray(toks)
-                emitted = np.asarray(self.state[4])
-                done = np.asarray(self.state[3])
+                toks, emitted, done = self._dispatch_chunk()
                 for slot, row in enumerate(self.rows):
                     if row is None:
                         continue

@@ -109,20 +109,30 @@ class Engine:
 
         self.sched = None
         if getattr(args, "continuous", 0):
-            assert self.draft_params is None, (
-                "--continuous and speculative serving are mutually exclusive (the "
-                "speculative path owns its own verify batching)"
-            )
-            from llama_x_tpu.serve.continuous import ContinuousScheduler
-
-            self.sched = ContinuousScheduler(
-                self.params, self.config, n_slots=args.continuous,
-                chunk_size=args.decode_chunk or 16,
+            common = dict(
+                n_slots=args.continuous, chunk_size=args.decode_chunk or 16,
                 prompt_multiple=args.prompt_multiple, cache_dtype=self.cache_dtype,
                 pad_id=self.tok.pad_id, seed=args.seed,
-                prefix_cache=getattr(args, "prefix_cache", 0),
-                prefill_chunk=getattr(args, "prefill_chunk", 0),
             )
+            if self.draft_params is not None:
+                # speculative continuous batching: chunk_size counts ROUNDS per
+                # dispatch (each emits up to gamma+1 tokens/row) — scale it down so
+                # a chunk stays ~decode_chunk tokens
+                from llama_x_tpu.serve.speculative import SpeculativeScheduler
+
+                common["chunk_size"] = max(1, common["chunk_size"] // (self.gamma + 1))
+                self.sched = SpeculativeScheduler(
+                    self.params, self.config, self.draft_params, self.draft_config,
+                    gamma=self.gamma, **common,
+                )
+            else:
+                from llama_x_tpu.serve.continuous import ContinuousScheduler
+
+                self.sched = ContinuousScheduler(
+                    self.params, self.config, **common,
+                    prefix_cache=getattr(args, "prefix_cache", 0),
+                    prefill_chunk=getattr(args, "prefill_chunk", 0),
+                )
         self._queue: list[_Request] = []
         self._cond = threading.Condition()
         self._worker = threading.Thread(target=self._run_worker, daemon=True)
@@ -581,7 +591,8 @@ def build_parser():
                         "join/leave the running batch at chunk boundaries (late arrivals "
                         "never wait for earlier batches; per-row sampling/eos/budget are "
                         "traced, so traffic mixes share ONE compiled step). 0 = coalescing "
-                        "batches (the default path). Not combinable with a draft model.")
+                        "batches (the default path). With --draft_resume/--draft_model the "
+                        "chunk step becomes speculative draft/verify rounds.")
     parser.add_argument("--prefix_cache", type=int, default=0,
                         help="with --continuous: automatic prefix caching — keep KV for up "
                         "to this many bucket-aligned prompt prefixes and admit prompts that "
