@@ -261,6 +261,7 @@ def bench_1b():
 
 
 def main():
+    global INT8_BWD, REMAT
     import argparse
     import os
     import subprocess
@@ -278,7 +279,6 @@ def main():
     parser.add_argument("--remat", default=REMAT,
                         help="remat policy for the 8B step (flash / flash_qkv / flash_proj / *_q8)")
     args = parser.parse_args()
-    global INT8_BWD, REMAT
     INT8_BWD = not args.no_int8_bwd
     REMAT = args.remat
 

@@ -39,18 +39,62 @@ def _parse_line(buf: bytes):
         elif f == 11:
             display = v.decode("utf-8", "replace")
         elif f == 4:
-            meta_id = dur = 0
+            meta_id = dur = off = 0
             for f2, _, v2 in _fields(v):
                 if f2 == 1:
                     meta_id = v2
+                elif f2 == 2:
+                    off = v2
                 elif f2 == 3:
                     dur = v2
-            events.append((meta_id, dur))
+            events.append((meta_id, off, dur))
     return display or name, events
 
 
-def _parse_plane(buf: bytes):
-    name, lines, metadata = "", [], {}
+def _self_times(events) -> dict[int, float]:
+    """Per-metadata-id SELF time (seconds) for one line of possibly-nested events.
+
+    TPU 'XLA Ops' lines nest scopes: a `while` (layer scan) event spans every op it
+    contains, fusions span their producers, etc. Summing durations double-counts —
+    the r4 8B trace attributed 1877 ms/step on a 942 ms/step device. Self time =
+    duration minus the durations of DIRECT children (standard flame-graph collapse
+    over the properly-nested interval list)."""
+    out: dict[int, float] = collections.defaultdict(float)
+    stack: list[list] = []  # [end_ps, meta_id, dur_ps, child_ps]
+    for meta_id, off, dur in sorted(events, key=lambda e: (e[1], -e[2])):
+        while stack and stack[-1][0] <= off:
+            _, m, d, c = stack.pop()
+            out[m] += max(d - c, 0) / 1e12
+        if stack:
+            stack[-1][3] += dur
+        stack.append([off + dur, meta_id, dur, 0])
+    while stack:
+        _, m, d, c = stack.pop()
+        out[m] += max(d - c, 0) / 1e12
+    return out
+
+
+def _parse_stat(buf: bytes):
+    """XStat { 1: metadata_id, value oneof: 2 double (fixed64), 3 uint64, 4 int64,
+    5 str, 6 bytes, 7 ref }; returns (stat_metadata_id, value)."""
+    sid, val = 0, None
+    for f, w, v in _fields(buf):
+        if f == 1:
+            sid = v
+        elif f == 2 and w == 1:
+            val = struct.unpack("<d", struct.pack("<Q", v))[0]
+        elif f in (3, 4, 7):
+            val = v
+        elif f == 5:
+            val = v.decode("utf-8", "replace")
+        elif f == 6:
+            val = v
+    return sid, val
+
+
+def _parse_plane(buf: bytes, want_stats: bool = False):
+    name, lines, metadata, stats = "", [], {}, {}
+    stat_names: dict[int, str] = {}
     for f, _, v in _fields(buf):
         if f == 2:
             name = v.decode("utf-8", "replace")
@@ -58,6 +102,7 @@ def _parse_plane(buf: bytes):
             lines.append(_parse_line(v))
         elif f == 4:  # map entry { 1: key, 2: XEventMetadata }
             key, meta = 0, {}
+            meta_stats = []
             for f2, _, v2 in _fields(v):
                 if f2 == 1:
                     key = v2
@@ -67,14 +112,44 @@ def _parse_plane(buf: bytes):
                             meta["name"] = v3.decode("utf-8", "replace")
                         elif f3 == 4:
                             meta["display"] = v3.decode("utf-8", "replace")
+                        elif f3 == 5 and want_stats:
+                            meta_stats.append(_parse_stat(v3))
             metadata[key] = meta.get("display") or meta.get("name", str(key))
+            if meta_stats:
+                stats[key] = meta_stats
+    if want_stats:
+        # XStatMetadata map: XPlane field 5 { 1: key, 2: XStatMetadata { 1: id, 2: name } }
+        for f, _, v in _fields(buf):
+            if f != 5:
+                continue
+            for f2, _, v2 in _fields(v):
+                if f2 == 2:
+                    sid, sname = 0, ""
+                    for f3, _, v3 in _fields(v2):
+                        if f3 == 1:
+                            sid = v3
+                        elif f3 == 2:
+                            sname = v3.decode("utf-8", "replace")
+                    stat_names[sid] = sname
+        named = {
+            key: {stat_names.get(sid, str(sid)): val for sid, val in st}
+            for key, st in stats.items()
+        }
+        return name, lines, metadata, named
     return name, lines, metadata
 
 
-def device_op_times(trace_dir: str | Path) -> dict[str, dict[str, float]]:
-    """{device_plane_name: {op_name: total_device_seconds}} aggregated over every
-    xplane.pb under trace_dir (host planes are skipped)."""
-    out: dict[str, dict[str, float]] = {}
+def device_summary(trace_dir: str | Path) -> dict[str, dict]:
+    """Per-device-plane attribution over every xplane.pb under trace_dir:
+
+      {plane: {"ops": {op: self_seconds},       # 'XLA Ops' line, nesting collapsed
+               "async": {op: seconds},          # 'Async XLA Ops' (overlapped DMA etc.)
+               "busy_s": float,                 # 'Steps' line total (true device busy)
+               "steps": int}}                   # number of step events
+
+    'ops' self-times sum to ~busy_s (gaps = unattributed); 'async' runs CONCURRENT
+    with ops and must not be added to it. Host planes are skipped."""
+    out: dict[str, dict] = {}
     for pb in sorted(Path(trace_dir).rglob("*.xplane.pb")):
         data = pb.read_bytes()
         for f, _, v in _fields(data):
@@ -83,15 +158,78 @@ def device_op_times(trace_dir: str | Path) -> dict[str, dict[str, float]]:
             name, lines, metadata = _parse_plane(v)
             if "device:" not in name and "TPU" not in name:
                 continue
-            agg = out.setdefault(name, collections.defaultdict(float))
+            plane = out.setdefault(
+                name,
+                {"ops": collections.defaultdict(float),
+                 "async": collections.defaultdict(float),
+                 "busy_s": 0.0, "steps": 0},
+            )
             for line_name, events in lines:
-                if line_name not in ("XLA Ops", "XLA Modules") and "Ops" not in line_name:
+                if line_name == "Steps":
+                    plane["busy_s"] += sum(d for _, _, d in events) / 1e12
+                    plane["steps"] += len(events)
+                elif line_name == "XLA Ops":
+                    for meta_id, t in _self_times(events).items():
+                        plane["ops"][metadata.get(meta_id, str(meta_id))] += t
+                elif "Async" in line_name and "Ops" in line_name:
+                    for meta_id, _, dur_ps in events:
+                        plane["async"][metadata.get(meta_id, str(meta_id))] += dur_ps / 1e12
+    for plane in out.values():
+        plane["ops"] = dict(plane["ops"])
+        plane["async"] = dict(plane["async"])
+    return out
+
+
+def device_op_times(trace_dir: str | Path) -> dict[str, dict[str, float]]:
+    """{device_plane_name: {op_name: self_device_seconds}} — the 'XLA Ops' view of
+    device_summary (kept as the simple entry point; async DMA excluded)."""
+    return {name: plane["ops"] for name, plane in device_summary(trace_dir).items()}
+
+
+def op_details(trace_dir: str | Path) -> dict[str, dict]:
+    """Self-time joined with the per-op HLO metadata the TPU runtime embeds in the
+    trace: {op: {self_s, category, flops, bytes_accessed, source, achieved_tflops,
+    achieved_gbps}}. flops/bytes are per EXECUTION; occurrences counts executions, so
+    achieved rates use self_s/occurrences. This is what turns the top-op table into
+    an optimization worklist (is the big fusion compute- or bandwidth-bound, and
+    which model line emitted it?)."""
+    out: dict[str, dict] = {}
+    for pb in sorted(Path(trace_dir).rglob("*.xplane.pb")):
+        data = pb.read_bytes()
+        for f, _, v in _fields(data):
+            if f != 1:
+                continue
+            name, lines, metadata, stats = _parse_plane(v, want_stats=True)
+            if "device:" not in name and "TPU" not in name:
+                continue
+            occur: dict[int, int] = collections.defaultdict(int)
+            selfs: dict[int, float] = collections.defaultdict(float)
+            for line_name, events in lines:
+                if line_name != "XLA Ops":
                     continue
-                if "Module" in line_name:
-                    continue  # module totals double-count their ops
-                for meta_id, dur_ps in events:
-                    agg[metadata[meta_id] if meta_id in metadata else str(meta_id)] += dur_ps / 1e12
-    return {k: dict(v) for k, v in out.items()}
+                for mid, t in _self_times(events).items():
+                    selfs[mid] += t
+                for mid, _, _ in events:
+                    occur[mid] += 1
+            for mid, t in selfs.items():
+                op = metadata.get(mid, str(mid))
+                st = stats.get(mid, {})
+                n = max(occur[mid], 1)
+                flops = int(st.get("flops", 0) or 0)
+                nbytes = int(st.get("bytes_accessed", 0) or 0)
+                per_exec = t / n
+                d = out.setdefault(op, {
+                    "self_s": 0.0, "occurrences": 0,
+                    "category": st.get("hlo_category", ""),
+                    "flops_per_exec": flops, "bytes_per_exec": nbytes,
+                    "source": st.get("source", ""),
+                })
+                d["self_s"] += t
+                d["occurrences"] += n
+                if per_exec > 0:
+                    d["achieved_tflops"] = round(flops / per_exec / 1e12, 2)
+                    d["achieved_gbps"] = round(nbytes / per_exec / 1e9, 1)
+    return out
 
 
 def _bucket(op_name: str) -> str:
@@ -109,13 +247,15 @@ def main():
     parser.add_argument("--buckets", action="store_true", help="aggregate by op family")
     args = parser.parse_args()
 
-    planes = device_op_times(args.trace_dir)
+    planes = device_summary(args.trace_dir)
     if not planes:
         print("no device planes found (host-only trace?)")
         return
-    for plane, ops in planes.items():
+    for plane, info in planes.items():
+        ops, busy = info["ops"], info["busy_s"]
         total = sum(ops.values())
-        print(f"== {plane}: {total*1e3:.2f} ms device time over {len(ops)} distinct ops")
+        print(f"== {plane}: {total*1e3:.2f} ms op self-time over {len(ops)} distinct ops"
+              f" (device busy {busy*1e3:.2f} ms / {info['steps']} steps)")
         if args.buckets:
             agg = collections.defaultdict(float)
             for name, t in ops.items():
@@ -123,6 +263,9 @@ def main():
             ops = agg
         for name, t in sorted(ops.items(), key=lambda x: -x[1])[: args.top]:
             print(f"  {t*1e3:9.3f} ms  {100*t/total:5.1f}%  {name[:100]}")
+        if info["async"]:
+            at = sum(info["async"].values())
+            print(f"  -- async (overlapped, not additive): {at*1e3:.2f} ms total")
 
 
 if __name__ == "__main__":

@@ -17,8 +17,31 @@ from pathlib import Path
 import pytest
 
 REPO = Path(__file__).resolve().parent.parent
-RUN_DIR = REPO / "runs/metamathqa/run_20260816_204350"
 sys.path.insert(0, str(REPO / "tools"))
+
+
+@pytest.fixture(scope="module")
+def run_dir(tmp_path_factory):
+    """A self-contained tiny run dir (model_config.json + checkpoint) so the
+    subprocess server test does not depend on leftover training runs (checkpoint
+    blobs are untracked; only configs survive in git)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from llama_x_tpu.models import llama
+    from llama_x_tpu.train.checkpoint import save_checkpoint
+
+    d = tmp_path_factory.mktemp("serve_run")
+    config = llama.tiny_config(max_seq_len=256, vocab_size=512, attn_impl="xla")
+    params = llama.init(jax.random.PRNGKey(0), config, dtype=jnp.float32)
+    (d / "model_config.json").write_text(
+        json.dumps({"llama": dataclasses.asdict(config)})
+    )
+    save_checkpoint(d, {"step": np.int64(0), "params": params}, 0)
+    return d
 
 
 def _tiny_engine(monkeypatch=None, draft=False, extra_args=(), vocab=512):
@@ -248,15 +271,14 @@ def test_engine_chat_fallback_template_and_eos():
     assert req.error is None and isinstance(req.texts[0], str)
 
 
-@pytest.mark.skipif(not RUN_DIR.exists(), reason="checkpoint run dir not present")
-def test_serve_http_completions():
+def test_serve_http_completions(run_dir):
     port = 8123
-    repo = RUN_DIR.parent.parent.parent
+    repo = REPO
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env["PYTHONPATH"] = f"{env.get('PYTHONPATH', '')}:{repo}".lstrip(":")
     env.pop("XLA_FLAGS", None)  # no need for the 8-device sim in the subprocess
     proc = subprocess.Popen(
-        [sys.executable, "tools/serve_http.py", "--resume", str(RUN_DIR),
+        [sys.executable, "tools/serve_http.py", "--resume", str(run_dir),
          "--tokenizer", "byte", "--port", str(port)],
         cwd=repo, env=env,
         stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,

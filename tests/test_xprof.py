@@ -3,6 +3,8 @@ aggregation, on a hand-emitted xplane.pb (same approach as test_sentencepiece.py
 
 import struct
 
+import pytest
+
 from llama_x_tpu.train.xprof import device_op_times
 
 
@@ -25,8 +27,8 @@ def _field(num: int, wire: int, payload) -> bytes:
     raise ValueError(wire)
 
 
-def _event(meta_id: int, dur_ps: int) -> bytes:
-    return _field(1, 0, meta_id) + _field(3, 0, dur_ps)
+def _event(meta_id: int, dur_ps: int, off_ps: int = 0) -> bytes:
+    return _field(1, 0, meta_id) + _field(2, 0, off_ps) + _field(3, 0, dur_ps)
 
 
 def _line(name: str, events) -> bytes:
@@ -54,7 +56,8 @@ def test_device_op_aggregation(tmp_path):
     plane = _plane(
         "/device:TPU:0",
         [
-            _line("XLA Ops", [_event(1, 2_000_000), _event(1, 3_000_000), _event(2, 500_000)]),
+            _line("XLA Ops", [_event(1, 2_000_000, 0), _event(1, 3_000_000, 4_000_000),
+                              _event(2, 500_000, 8_000_000)]),
             _line("XLA Modules", [_event(1, 99_000_000)]),  # module totals must be skipped
         ],
         [_meta(1, "fusion.7"), _meta(2, "copy.1")],
@@ -68,5 +71,40 @@ def test_device_op_aggregation(tmp_path):
     out = device_op_times(tmp_path)
     assert list(out) == ["/device:TPU:0"]  # host plane skipped
     ops = out["/device:TPU:0"]
-    assert abs(ops["fusion.7"] - 5e-6) < 1e-12  # 2 events summed, ps -> s
+    assert abs(ops["fusion.7"] - 5e-6) < 1e-12  # 2 disjoint events summed, ps -> s
     assert abs(ops["copy.1"] - 0.5e-6) < 1e-12
+
+
+def test_nested_self_time_and_async(tmp_path):
+    """A `while` scope spanning its children must contribute only its SELF time
+    (duration minus direct children); async lines aggregate separately; the Steps
+    line gives device busy time (the r4 8B trace double-counted 2x without this)."""
+    from llama_x_tpu.train.xprof import device_summary
+
+    # while.1: [0, 10ms) containing fusion.2 [1, 4ms) and fusion.2 [5, 8ms);
+    # fusion.2 at [1,4) itself contains copy.3 [2, 3ms)
+    ops_line = _line("XLA Ops", [
+        _event(1, 10_000_000, 0),
+        _event(2, 3_000_000, 1_000_000),
+        _event(3, 1_000_000, 2_000_000),
+        _event(2, 3_000_000, 5_000_000),
+    ])
+    async_line = _line("Async XLA Ops", [_event(4, 7_000_000, 0)])
+    steps_line = _line("Steps", [_event(5, 10_000_000, 0)])
+    plane = _plane(
+        "/device:TPU:0",
+        [ops_line, async_line, steps_line],
+        [_meta(1, "while.1"), _meta(2, "fusion.2"), _meta(3, "copy.3"),
+         _meta(4, "async-copy"), _meta(5, "step0")],
+    )
+    d = tmp_path / "plugins" / "profile" / "t1"
+    d.mkdir(parents=True)
+    (d / "vm.xplane.pb").write_bytes(_field(1, 2, plane))
+
+    out = device_summary(tmp_path)["/device:TPU:0"]
+    assert abs(out["ops"]["while.1"] - 4e-6) < 1e-12     # 10 - (3 + 3) direct children
+    assert abs(out["ops"]["fusion.2"] - 5e-6) < 1e-12    # (3 - 1 nested copy) + 3
+    assert abs(out["ops"]["copy.3"] - 1e-6) < 1e-12
+    assert sum(out["ops"].values()) == pytest.approx(10e-6)  # self times tile the span
+    assert abs(out["async"]["async-copy"] - 7e-6) < 1e-12   # separate, not in ops
+    assert out["busy_s"] == pytest.approx(10e-6) and out["steps"] == 1

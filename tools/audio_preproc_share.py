@@ -54,7 +54,7 @@ def main():
     audio_config = AudioConfig()
     stem = init_audio_stem(jax.random.PRNGKey(0), config, audio_config, jnp.bfloat16)
     n_samp = int(args.audio_secs * audio_config.sample_rate)
-    audio = jnp.asarray(np.random.default_rng(0).standard_normal((1, 1, n_samp)).astype(np.float32) * 0.1)
+    audio = jnp.asarray(np.random.default_rng(0).standard_normal((1, n_samp)).astype(np.float32) * 0.1)
 
     def reps(n):
         @jax.jit

@@ -29,7 +29,19 @@ def main():
     parser.add_argument("--top", type=int, default=20)
     parser.add_argument("--trace_dir", default="runs/profile_8b/trace")
     parser.add_argument("--out", default="runs/profile_8b/top_ops.json")
+    parser.add_argument("--reuse_trace", action="store_true",
+                        help="summarize an existing trace_dir offline (no device run)")
+    parser.add_argument("--wall_ms", type=float, default=None,
+                        help="with --reuse_trace: record the wall step time measured when "
+                             "the trace was captured")
     args = parser.parse_args()
+
+    from llama_x_tpu.train.xprof import _bucket, device_summary, op_details
+
+    if args.reuse_trace:
+        _summarize(args, step_ms=args.wall_ms, _bucket=_bucket,
+                   device_summary=device_summary, op_details=op_details)
+        return
 
     from llama_x_tpu.utils.cache import enable_compilation_cache
     from llama_x_tpu.utils.platform import apply_platform_env
@@ -45,7 +57,6 @@ def main():
     from llama_x_tpu.models import audio as audio_mod
     from llama_x_tpu.train.optim import get_optimizer
     from llama_x_tpu.train.trainer import init_train_state, make_train_step
-    from llama_x_tpu.train.xprof import _bucket, device_op_times
 
     config, audio_config, params, mask = bench.build_8b_qlora()
     audio_secs = 40.0
@@ -84,13 +95,18 @@ def main():
             state, metrics = step(state, batch)
         float(metrics["loss"])
 
-    planes = device_op_times(trace_dir)
+    _summarize(args, step_ms=step_ms, _bucket=_bucket,
+               device_summary=device_summary, op_details=op_details)
+
+
+def _summarize(args, step_ms, _bucket, device_summary, op_details):
+    planes = device_summary(Path(args.trace_dir))
     out_path = Path(args.out)
     out_path.parent.mkdir(parents=True, exist_ok=True)
 
     if not planes:
         artifact = {
-            "step_ms_wall": round(step_ms, 1),
+            "step_ms_wall": round(step_ms, 1) if step_ms is not None else None,
             "traced_steps": args.steps,
             "device_planes": 0,
             "note": "remote backend returned no device planes through the relay; "
@@ -101,40 +117,86 @@ def main():
         print(f"wrote {out_path}")
         return
 
-    # merge all device planes (single chip -> one plane)
+    # merge all device planes (single chip -> one plane); ops are SELF time
+    # (nesting collapsed), async is overlapped DMA and NOT additive with ops
     ops: dict[str, float] = collections.defaultdict(float)
-    for plane_ops in planes.values():
-        for name, t in plane_ops.items():
+    async_ops: dict[str, float] = collections.defaultdict(float)
+    busy_s = 0.0
+    n_step_events = 0
+    for plane in planes.values():
+        for name, t in plane["ops"].items():
             ops[name] += t
+        for name, t in plane["async"].items():
+            async_ops[name] += t
+        busy_s += plane["busy_s"]
+        n_step_events += plane["steps"]
     total = sum(ops.values())
     per_step = total / args.steps
+    busy_per_step = busy_s / max(n_step_events, 1)
 
     buckets = collections.defaultdict(float)
     for name, t in ops.items():
         buckets[_bucket(name)] += t
+    async_buckets = collections.defaultdict(float)
+    for name, t in async_ops.items():
+        async_buckets[_bucket(name)] += t
+
+    # HLO metadata join: category / flops / bytes / model source line per op
+    details = op_details(Path(args.trace_dir))
 
     top = sorted(ops.items(), key=lambda x: -x[1])[: args.top]
-    print(f"== device total {total*1e3:.1f} ms over {args.steps} steps "
-          f"({per_step*1e3:.1f} ms/step attributed)")
+    print(f"== device busy {busy_per_step*1e3:.1f} ms/step ({n_step_events} step events); "
+          f"op self-time {per_step*1e3:.1f} ms/step attributed")
     for name, t in top:
-        print(f"  {t/args.steps*1e3:9.2f} ms/step  {100*t/total:5.1f}%  {name[:90]}")
-    print("== op families")
-    for name, t in sorted(buckets.items(), key=lambda x: -x[1])[:12]:
+        d = details.get(name, {})
+        extra = (f" [{d.get('category','')}, {d.get('achieved_tflops', 0)} TF/s, "
+                 f"{d.get('achieved_gbps', 0)} GB/s, {d.get('source','').split('/')[-1]}]"
+                 if d else "")
+        print(f"  {t/args.steps*1e3:9.2f} ms/step  {100*t/total:5.1f}%  {name[:60]}{extra}")
+
+    # by model source line (where remat scopes blur op names, the source survives)
+    by_source = collections.defaultdict(float)
+    for name, d in details.items():
+        by_source[d.get("source") or "?"] += d["self_s"]
+    print("== by source line (self time)")
+    src_total = sum(by_source.values())
+    top_sources = sorted(by_source.items(), key=lambda x: -x[1])[:14]
+    for src, t in top_sources:
+        print(f"  {t/args.steps*1e3:9.2f} ms/step  {100*t/max(src_total,1e-12):5.1f}%  {src[-80:]}")
+    print("== op families (self time)")
+    for name, t in sorted(buckets.items(), key=lambda x: -x[1])[:14]:
         print(f"  {t/args.steps*1e3:9.2f} ms/step  {100*t/total:5.1f}%  {name}")
+    print("== async families (overlapped with the above, not additive)")
+    for name, t in sorted(async_buckets.items(), key=lambda x: -x[1])[:6]:
+        print(f"  {t/args.steps*1e3:9.2f} ms/step  {name}")
 
     artifact = {
-        "step_ms_wall": round(step_ms, 1),
+        "step_ms_wall": round(step_ms, 1) if step_ms is not None else None,
         "traced_steps": args.steps,
-        "device_ms_per_step_attributed": round(per_step * 1e3, 2),
+        "device_busy_ms_per_step": round(busy_per_step * 1e3, 2),
+        "op_self_ms_per_step_attributed": round(per_step * 1e3, 2),
         "top_ops": [
             {"op": name[:120], "ms_per_step": round(t / args.steps * 1e3, 3),
-             "pct": round(100 * t / total, 2)}
+             "pct": round(100 * t / total, 2),
+             **({"category": details[name].get("category", ""),
+                 "achieved_tflops": details[name].get("achieved_tflops", 0),
+                 "achieved_gbps": details[name].get("achieved_gbps", 0),
+                 "source": details[name].get("source", "")}
+                if name in details else {})}
             for name, t in top
+        ],
+        "by_source": [
+            {"source": src, "ms_per_step": round(t / args.steps * 1e3, 3)}
+            for src, t in top_sources
         ],
         "op_families": [
             {"family": name, "ms_per_step": round(t / args.steps * 1e3, 3),
              "pct": round(100 * t / total, 2)}
-            for name, t in sorted(buckets.items(), key=lambda x: -x[1])[:12]
+            for name, t in sorted(buckets.items(), key=lambda x: -x[1])[:14]
+        ],
+        "async_families_overlapped": [
+            {"family": name, "ms_per_step": round(t / args.steps * 1e3, 3)}
+            for name, t in sorted(async_buckets.items(), key=lambda x: -x[1])[:6]
         ],
     }
     out_path.write_text(json.dumps(artifact, indent=1))
