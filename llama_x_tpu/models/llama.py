@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from llama_x_tpu.ops.attention import MaskInfo, dot_product_attention
 from llama_x_tpu.ops.cross_entropy import cross_entropy_loss, fused_linear_cross_entropy
-from llama_x_tpu.ops.linear import apply_linear
+from llama_x_tpu.ops.linear import apply_linear, apply_linear_grouped
 from llama_x_tpu.ops.norms import rms_norm
 from llama_x_tpu.ops.rope import apply_rope, build_rope
 
@@ -179,15 +179,13 @@ def attention(
     # names are no-ops unless the remat policy saves them ("flash_qkv"): saving the
     # three projection outputs (~48 MB/layer at 8B) lets the backward skip their
     # int8-GEMM recompute
-    q = checkpoint_name(
-        apply_linear(x, p["wq"], dynamic_int8_act=c.dynamic_int8_act, dynamic_int8_bwd=c.dynamic_int8_bwd), "qkv_proj"
-    ).reshape(B, S, c.num_heads, c.head_dim)
-    k = checkpoint_name(
-        apply_linear(x, p["wk"], dynamic_int8_act=c.dynamic_int8_act, dynamic_int8_bwd=c.dynamic_int8_bwd), "qkv_proj"
-    ).reshape(B, S, c.num_kv_heads, c.head_dim)
-    v = checkpoint_name(
-        apply_linear(x, p["wv"], dynamic_int8_act=c.dynamic_int8_act, dynamic_int8_bwd=c.dynamic_int8_bwd), "qkv_proj"
-    ).reshape(B, S, c.num_kv_heads, c.head_dim)
+    q, k, v = apply_linear_grouped(
+        x, (p["wq"], p["wk"], p["wv"]),
+        dynamic_int8_act=c.dynamic_int8_act, dynamic_int8_bwd=c.dynamic_int8_bwd,
+    )
+    q = checkpoint_name(q, "qkv_proj").reshape(B, S, c.num_heads, c.head_dim)
+    k = checkpoint_name(k, "qkv_proj").reshape(B, S, c.num_kv_heads, c.head_dim)
+    v = checkpoint_name(v, "qkv_proj").reshape(B, S, c.num_kv_heads, c.head_dim)
 
     if input_pos is None:
         q = apply_rope(q, rope)
@@ -317,8 +315,8 @@ def feed_forward(p: Params, config: LlamaConfig, x: jnp.ndarray) -> jnp.ndarray:
     from jax.ad_checkpoint import checkpoint_name
 
     d, db = config.dynamic_int8_act, config.dynamic_int8_bwd
-    h = jax.nn.silu(apply_linear(x, p["w1"], dynamic_int8_act=d, dynamic_int8_bwd=db)) * apply_linear(
-        x, p["w3"], dynamic_int8_act=d, dynamic_int8_bwd=db)
+    h1, h3 = apply_linear_grouped(x, (p["w1"], p["w3"]), dynamic_int8_act=d, dynamic_int8_bwd=db)
+    h = jax.nn.silu(h1) * h3
     # named for the "flash_proj" remat policy: w2's output is D-wide (32 MB/layer at
     # 8B) while skipping its recompute saves the single largest GEMM in the block
     return checkpoint_name(apply_linear(h, p["w2"], dynamic_int8_act=d, dynamic_int8_bwd=db), "mlp_out")
@@ -359,8 +357,7 @@ def feed_forward_q8(config: LlamaConfig, p: Params, norm_scale: jnp.ndarray, h: 
     in the backward (VPU-cheap)."""
     x = rms_norm(h, norm_scale, config.norm_eps)
     d, db = config.dynamic_int8_act, config.dynamic_int8_bwd
-    h1 = apply_linear(x, p["w1"], dynamic_int8_act=d, dynamic_int8_bwd=db)
-    h3 = apply_linear(x, p["w3"], dynamic_int8_act=d, dynamic_int8_bwd=db)
+    h1, h3 = apply_linear_grouped(x, (p["w1"], p["w3"]), dynamic_int8_act=d, dynamic_int8_bwd=db)
     return apply_linear(jax.nn.silu(h1) * h3, p["w2"], dynamic_int8_act=d, dynamic_int8_bwd=db)
 
 
@@ -369,12 +366,18 @@ def _ff_q8_fwd(config, p, norm_scale, h):
 
     x = rms_norm(h, norm_scale, config.norm_eps)
     d, db = config.dynamic_int8_act, config.dynamic_int8_bwd
-    h1 = apply_linear(x, p["w1"], dynamic_int8_act=d, dynamic_int8_bwd=db)
-    h3 = apply_linear(x, p["w3"], dynamic_int8_act=d, dynamic_int8_bwd=db)
+    h1, h3 = apply_linear_grouped(x, (p["w1"], p["w3"]), dynamic_int8_act=d, dynamic_int8_bwd=db)
     out = apply_linear(jax.nn.silu(h1) * h3, p["w2"], dynamic_int8_act=d, dynamic_int8_bwd=db)
     F = h1.shape[-1]
     q1, s1 = quantize_int8_rowwise(h1.reshape(-1, F))
-    q3, s3 = quantize_int8_rowwise(h3.reshape(-1, F))
+    if config.remat_policy.endswith("_q8s"):
+        # single-sided: save h1 only (needed twice in dSwiGLU: silu and silu'); the
+        # backward recomputes h3 with ONE w3 GEMM. Halves the int8-residual memory —
+        # full q8 at 8B/S=4096 is ~3.8 GB of residuals and runtime-OOMs the 16 GB
+        # chip next to flash_proj's ~3.7 GB of bf16 saves (tools/repro_q8_compile.py).
+        q3 = s3 = None
+    else:
+        q3, s3 = quantize_int8_rowwise(h3.reshape(-1, F))
     return out, (p, norm_scale, h, q1, s1, q3, s3)
 
 
@@ -386,13 +389,17 @@ def _ff_q8_bwd(config, res, g):
     def deq(q, s):
         return (q.astype(jnp.float32) * s.astype(jnp.float32)[:, None]).astype(h.dtype).reshape(*lead, F)
 
-    h1, h3 = deq(q1, s1), deq(q3, s3)
+    def lin(pp, xx):
+        return apply_linear(xx, pp, dynamic_int8_act=d, dynamic_int8_bwd=db)
+
+    x_ = rms_norm(h, norm_scale, config.norm_eps)
+    h1 = deq(q1, s1)
+    # q8s: h3 was not saved — recompute it (exact fwd value, so only h1's int8
+    # roundtrip perturbs the backward; one extra F-wide GEMM vs full q8)
+    h3 = lin(p["w3"], x_) if q3 is None else deq(q3, s3)
     sig = jax.nn.sigmoid(h1)
     silu_h1 = h1 * sig
     prod = silu_h1 * h3
-
-    def lin(pp, xx):
-        return apply_linear(xx, pp, dynamic_int8_act=d, dynamic_int8_bwd=db)
 
     # jax.vjp re-traces each forward, but the GEMM outputs are unused and the int8
     # custom_vjp keeps no output residuals, so XLA DCEs the replayed forwards — only
@@ -401,7 +408,7 @@ def _ff_q8_bwd(config, res, g):
     dw2, dprod = vjp2(g)
     dh1 = dprod * h3 * _silu_prime(h1, sig)
     dh3 = dprod * silu_h1
-    _, vjp1 = jax.vjp(lin, p["w1"], x_ := rms_norm(h, norm_scale, config.norm_eps))
+    _, vjp1 = jax.vjp(lin, p["w1"], x_)
     dw1, dx1 = vjp1(dh1)
     _, vjp3 = jax.vjp(lin, p["w3"], x_)
     dw3, dx3 = vjp3(dh3)
@@ -413,11 +420,16 @@ def _ff_q8_bwd(config, res, g):
 feed_forward_q8.defvjp(_ff_q8_fwd, _ff_q8_bwd)
 
 # q8 remat policies: attention region keeps the mapped policy's saves; the MLP runs
-# outside the checkpoint as feed_forward_q8 (int8 residuals replace its recompute)
+# outside the checkpoint as feed_forward_q8 (int8 residuals replace its recompute).
+# "_q8" saves h1+h3 rowwise-int8 (no w1/w3 recompute at all); "_q8s" saves h1 only
+# and recomputes h3 (half the residual memory — the 8B/S=4096 fit, see _ff_q8_fwd).
 _Q8_POLICIES = {
     "flash_q8": "flash",
     "flash_qkv_q8": "flash_qkv",
     "flash_proj_q8": "flash_proj",  # mlp_out name never appears in the attn region
+    "flash_q8s": "flash",
+    "flash_qkv_q8s": "flash_qkv",
+    "flash_proj_q8s": "flash_proj",
 }
 
 

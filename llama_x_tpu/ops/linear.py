@@ -42,18 +42,13 @@ def _dequant_kernel(p: dict) -> jnp.ndarray:
     return p["kernel"].astype(jnp.float32)
 
 
-def apply_linear(
-    x: jnp.ndarray, p: dict, *, dynamic_int8_act: bool = False, dynamic_int8_bwd: bool = False
-) -> jnp.ndarray:
-    out = _base_matmul(x, p, dynamic_int8_act, dynamic_int8_bwd)
-
-    is_dora = "m" in p
-    if "lora_a" in p:
-        scale = p["lora_scale"].astype(x.dtype)
-        delta = (x @ p["lora_a"].astype(x.dtype)) @ p["lora_b"].astype(x.dtype) * scale
+def _finish_linear(p: dict, out: jnp.ndarray, delta: jnp.ndarray | None) -> jnp.ndarray:
+    """Post-base tail shared by the single and grouped paths: +LoRA delta, DoRA
+    rescale, +bias (in that order — modelling/lora.py:40-62 semantics)."""
+    if delta is not None:
         out = out + delta
 
-    if is_dora:
+    if "m" in p:
         # column norm of (W + B A s) with the delta detached (modelling/lora.py:57-59);
         # the base weight is frozen in the reference, so stop its gradient too
         w = jax.lax.stop_gradient(_dequant_kernel(p))
@@ -66,3 +61,48 @@ def apply_linear(
     if "bias" in p:
         out = out + p["bias"].astype(out.dtype)
     return out
+
+
+def apply_linear(
+    x: jnp.ndarray, p: dict, *, dynamic_int8_act: bool = False, dynamic_int8_bwd: bool = False
+) -> jnp.ndarray:
+    out = _base_matmul(x, p, dynamic_int8_act, dynamic_int8_bwd)
+    delta = None
+    if "lora_a" in p:
+        scale = p["lora_scale"].astype(x.dtype)
+        delta = (x @ p["lora_a"].astype(x.dtype)) @ p["lora_b"].astype(x.dtype) * scale
+    return _finish_linear(p, out, delta)
+
+
+def apply_linear_grouped(
+    x: jnp.ndarray, ps, *, dynamic_int8_act: bool = False, dynamic_int8_bwd: bool = False
+) -> tuple[jnp.ndarray, ...]:
+    """Apply several linears to the SAME input, with their LoRA A-projections fused
+    into ONE concatenated GEMM so x streams from HBM once instead of len(ps) times
+    (XLA does not merge separate dots that share an operand).
+
+    Exact: each output column of a matmul reads only its own weight column, so
+    ``(x @ [A_q|A_k|A_v])[..., off:off+r] == x @ A_i`` in value and in gradient
+    (dA_i is the matching slice of the concatenated cotangent). Motivation: the 8B
+    qlora bench spends 40.7 ms/step in BW-bound LoRA-delta fusions re-reading the
+    [B,S,D] activation per projection (linear.py:53 row of
+    runs/profile_8b/top_ops.json); q/k/v and w1/w3 grouping removes ~3/7 of those
+    reads in forward AND backward (d(xa) slices concatenate the same way)."""
+    outs = [_base_matmul(x, p, dynamic_int8_act, dynamic_int8_bwd) for p in ps]
+    lora_is = [i for i, p in enumerate(ps) if "lora_a" in p]
+    deltas: dict[int, jnp.ndarray] = {}
+    if len(lora_is) >= 2:
+        xa = x @ jnp.concatenate([ps[i]["lora_a"].astype(x.dtype) for i in lora_is], axis=1)
+        off = 0
+        for i in lora_is:
+            r = ps[i]["lora_a"].shape[1]
+            deltas[i] = (xa[..., off:off + r] @ ps[i]["lora_b"].astype(x.dtype)) * ps[i][
+                "lora_scale"
+            ].astype(x.dtype)
+            off += r
+    elif lora_is:
+        i = lora_is[0]
+        deltas[i] = (x @ ps[i]["lora_a"].astype(x.dtype)) @ ps[i]["lora_b"].astype(x.dtype) * ps[
+            i
+        ]["lora_scale"].astype(x.dtype)
+    return tuple(_finish_linear(p, out, deltas.get(i)) for i, (p, out) in enumerate(zip(ps, outs)))

@@ -140,3 +140,49 @@ def test_qlora_composition_forward_close_to_fp():
     # int8 rowwise quantization error on every projection; logits stay close
     err = np.abs(base - qlora).max() / (np.abs(base).max() + 1e-6)
     assert err < 0.05, err
+
+
+def test_grouped_lora_matches_per_linear():
+    """apply_linear_grouped == per-projection apply_linear exactly (values AND grads):
+    the concatenated A-GEMM reads x once but each output column touches only its own
+    A columns, so nothing about the math changes (ops/linear.py:apply_linear_grouped)."""
+    from llama_x_tpu.ops.linear import apply_linear, apply_linear_grouped
+
+    rng = jax.random.PRNGKey(42)
+    k1, k2, k3, kx = jax.random.split(rng, 4)
+    d_in, outs = 32, (48, 16, 16)
+
+    def mk_lin(k, fan_out, rank, with_lora=True, with_bias=False):
+        ka, kb, kk, kbias = jax.random.split(k, 4)
+        p = {"kernel": jax.random.normal(kk, (d_in, fan_out), jnp.float32) * 0.1}
+        if with_lora:
+            p["lora_a"] = jax.random.normal(ka, (d_in, rank), jnp.float32) * 0.3
+            p["lora_b"] = jax.random.normal(kb, (rank, fan_out), jnp.float32) * 0.3
+            p["lora_scale"] = jnp.asarray(2.0, jnp.float32)
+        if with_bias:
+            p["bias"] = jax.random.normal(kbias, (fan_out,), jnp.float32)
+        return p
+
+    # mixed ranks + one bias; and a mixed-presence case (middle linear has no LoRA)
+    for presence in [(True, True, True), (True, False, True)]:
+        ps = tuple(
+            mk_lin(k, fo, r, with_lora=w, with_bias=(i == 0))
+            for i, (k, fo, r, w) in enumerate(zip((k1, k2, k3), outs, (4, 8, 4), presence))
+        )
+        x = jax.random.normal(kx, (2, 6, d_in), jnp.float32)
+
+        def grouped(ps_, x_):
+            return sum(jnp.sum(o**2) for o in apply_linear_grouped(x_, ps_))
+
+        def single(ps_, x_):
+            return sum(jnp.sum(apply_linear(x_, p) ** 2) for p in ps_)
+
+        outs_g = apply_linear_grouped(x, ps)
+        outs_s = [apply_linear(x, p) for p in ps]
+        for og, os_ in zip(outs_g, outs_s):
+            np.testing.assert_array_equal(np.asarray(og), np.asarray(os_))
+
+        gg = jax.grad(grouped)(ps, x)
+        gs = jax.grad(single)(ps, x)
+        for lg, ls in zip(jax.tree.leaves(gg), jax.tree.leaves(gs)):
+            np.testing.assert_allclose(np.asarray(lg), np.asarray(ls), rtol=1e-6, atol=1e-6)

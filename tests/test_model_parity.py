@@ -6,6 +6,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from llama_x_tpu.models import llama
@@ -136,14 +137,16 @@ def test_decode_matches_full_forward():
         )
 
 
-def test_q8_remat_forward_exact_and_grads_close():
+@pytest.mark.parametrize("policy", ["flash_proj_q8", "flash_proj_q8s"])
+def test_q8_remat_forward_exact_and_grads_close(policy):
     """"flash_proj_q8" (int8-residual MLP outside the attention checkpoint region):
     forward must be bit-identical to the plain path (the primal computes from exact
     h1/h3); grads may differ only by the int8 roundtrip of h1/h3 in the backward —
-    bounded like the dynamic_int8_bwd noise (runs/int8_bwd_quality)."""
+    bounded like the dynamic_int8_bwd noise (runs/int8_bwd_quality). "_q8s" saves
+    h1 only and recomputes h3 exactly, so its grads are at least as close."""
     params, config = _make()
     cfg_ref = config.replace(activation_checkpointing=True, remat_policy="flash_proj", attn_impl="xla")
-    cfg_q8 = cfg_ref.replace(remat_policy="flash_proj_q8")
+    cfg_q8 = cfg_ref.replace(remat_policy=policy)
     rng = np.random.default_rng(6)
     tokens = jnp.asarray(rng.integers(0, config.vocab_size, (2, 16)).astype(np.int32))
     labels = jnp.asarray(rng.integers(0, config.vocab_size, (2, 16)).astype(np.int64))

@@ -1,12 +1,14 @@
 #!/bin/bash
-# Follow-up TPU backlog (round 4, pass 2): the fix-ups from the first pass.
+# Follow-up TPU backlog (round 4, pass 2):
 #  - spec_target retrain: 16L at lr 3e-3 plateaued at loss ~2.1 and only started
 #    dropping in the trapezoid decay — rerun cooler and longer (lr 1e-3, 1500 steps).
 #  - bench_spec_trained with the retrained target (draft already at loss 0.043).
-#  - audio_preproc_share rerun (first pass fed (B,1,T) to a (B,T) mel frontend).
-#  - bench_q8 retry (first pass died on a flaky remote-compile HTTP 500).
 #  - vision headline rerun with the sweep-winning recipe (lr 1e-3 / 4000 steps hit
 #    exact-match 1.0 in the sweep) including the checkpoint round-trip.
+#  - bench headline re-capture with the grouped-LoRA delta (one x@A read for q/k/v
+#    and w1/w3) to measure the step-time delta vs the 946 ms flash_proj baseline.
+# (audio_preproc_share: DONE 2026-08-18 — 0.52% of step, runs/bench_omni/audio_preproc.json.
+#  bench_q8: moved to the OOM investigation, tools/repro_q8_compile.py.)
 #
 # usage: nohup tools/tpu_backlog2.sh > /dev/null 2>&1 & echo $! > /tmp/backlog2.pid
 cd /root/repo
@@ -28,6 +30,8 @@ sys.exit(0 if res['ok'] else 1)" > $LOG/probe.log 2>&1
 if [ $? -ne 0 ]; then echo "BACKEND DOWN — aborting $(date +%H:%M:%S)" >> $LOG/driver.log; exit 1; fi
 echo "=== probe ok $(date +%H:%M:%S)" >> $LOG/driver.log
 
+step bench_grouped_lora 3600 python bench.py
+
 step train_spec_target2 5400 python train_metamathqa.py --synthetic 2048 --synthetic_task count \
   --synthetic_config '{"num_layers":16,"embed_dim":1024,"head_dim":64,"num_heads":16,"num_kv_heads":8,"intermediate_dim":2816}' \
   --max_seq_len 512 --batch_size 16 --n_steps 1500 --lr 1e-3 --run_name spec_target2
@@ -37,10 +41,6 @@ DRF=$(ls -dt runs/metamathqa/spec_draft_* 2>/dev/null | head -1)
 if [ -n "$TGT" ] && [ -n "$DRF" ]; then
   step bench_spec_trained 3000 python tools/bench_spec_trained.py --resume "$TGT" --draft_resume "$DRF" --gamma 4
 fi
-
-step audio_preproc 2400 python tools/audio_preproc_share.py
-
-step bench_q8 5400 python bench.py --remat flash_proj_q8
 
 step vision_headline 3000 python tools/vision_synthetic.py --steps 4000 --lr 1e-3
 
