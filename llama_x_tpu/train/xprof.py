@@ -238,6 +238,67 @@ def _bucket(op_name: str) -> str:
     return base
 
 
+# Per-chip peaks for the roofline. v5e (the bench chip, bench.py:34): 197 TFLOP/s
+# bf16 MXU, int8 runs at 2x, 819 GB/s HBM. Swap for other generations via --peaks.
+PEAKS_V5E = {"bf16_tflops": 197.0, "int8_tflops": 394.0, "hbm_gbps": 819.0}
+
+
+def roofline(details: dict[str, dict], peaks: dict = PEAKS_V5E, steps: int = 1) -> dict:
+    """Speed-of-light analysis over op_details(): for each op with HLO cost metadata,
+    the roofline-minimum time is max(flops/peak_flops, bytes/peak_bw) — whichever
+    side dominates names the bound. ``gap`` = achieved/SOL (1.0 = at the roofline);
+    ``waste_ms`` = self − SOL per step, i.e. the step-time available from making THIS
+    op perfect, which is the right sort key for an optimization worklist (a 2x-off
+    tiny op matters less than a 1.2x-off giant one).
+
+    Caveats, so the numbers are read honestly: flops/bytes come from XLA's per-HLO
+    cost model (bytes_accessed counts declared operand+result bytes, which for a
+    fusion can exceed true HBM traffic when operands stay in VMEM/registers —
+    achieved_gbps > peak flags exactly this); int8 Pallas GEMMs are matched by name
+    and get the int8 peak; everything else is assumed bf16 MXU-eligible. Ops with no
+    cost metadata (copies, infeed) get a bytes-only roofline when bytes are known and
+    are skipped otherwise."""
+    rows = []
+    for op, d in details.items():
+        self_s = d.get("self_s", 0.0)
+        occ = max(d.get("occurrences", 1), 1)
+        flops = d.get("flops_per_exec", 0) or 0
+        nbytes = d.get("bytes_per_exec", 0) or 0
+        if self_s <= 0 or (not flops and not nbytes):
+            continue
+        peak_f = peaks["int8_tflops"] if "int8" in op else peaks["bf16_tflops"]
+        t_compute = flops / (peak_f * 1e12)
+        t_memory = nbytes / (peaks["hbm_gbps"] * 1e9)
+        sol = max(t_compute, t_memory)
+        per_exec = self_s / occ
+        rows.append({
+            "op": op,
+            "self_ms": round(self_s * 1e3 / steps, 3),
+            "sol_ms": round(sol * occ * 1e3 / steps, 3),
+            "bound": "compute" if t_compute >= t_memory else "memory",
+            "gap": round(per_exec / sol, 2) if sol > 0 else None,
+            "waste_ms": round((self_s - sol * occ) * 1e3 / steps, 3),
+            "category": d.get("category", ""),
+            "source": d.get("source", ""),
+        })
+    rows.sort(key=lambda r: -r["waste_ms"])
+    total_self = sum(r["self_ms"] for r in rows)
+    # Sum POSITIVE waste only: ops whose declared bytes exceed true HBM traffic
+    # (fusion operands resident in VMEM) get sol > self, and letting that negative
+    # "waste" cancel real headroom elsewhere would understate what's available.
+    available = sum(r["waste_ms"] for r in rows if r["waste_ms"] > 0)
+    return {
+        "peaks": peaks,
+        "attributed_ms": round(total_self, 2),
+        # step-time reclaimable if every op ran at its roofline — the ceiling of the
+        # CURRENT op mix (fewer/other ops, e.g. less remat, can beat it)
+        "available_ms": round(available, 2),
+        "sol_speedup": round(total_self / (total_self - available), 3)
+        if available < total_self else None,
+        "ops": rows,
+    }
+
+
 def main():
     import argparse
 
@@ -245,7 +306,21 @@ def main():
     parser.add_argument("trace_dir")
     parser.add_argument("--top", type=int, default=25)
     parser.add_argument("--buckets", action="store_true", help="aggregate by op family")
+    parser.add_argument("--roofline", action="store_true",
+                        help="speed-of-light gap table (needs HLO cost metadata in the trace)")
+    parser.add_argument("--steps", type=int, default=1,
+                        help="traced step count to divide per-step numbers by (roofline)")
     args = parser.parse_args()
+
+    if args.roofline:
+        rl = roofline(op_details(args.trace_dir), steps=args.steps)
+        print(f"attributed {rl['attributed_ms']:.1f} ms/step, {rl['available_ms']:.1f} ms "
+              f"above per-op rooflines -> {rl['sol_speedup']:.2f}x ceiling on this op mix")
+        print(f"{'self':>9} {'SOL':>9} {'gap':>6}  bound    op / source")
+        for r in rl["ops"][: args.top]:
+            print(f"{r['self_ms']:8.2f}m {r['sol_ms']:8.2f}m {r['gap'] or 0:6.2f}  "
+                  f"{r['bound']:<7}  {r['op'][:60]}  {r['source'].split('/')[-1]}")
+        return
 
     planes = device_summary(args.trace_dir)
     if not planes:

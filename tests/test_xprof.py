@@ -108,3 +108,43 @@ def test_nested_self_time_and_async(tmp_path):
     assert sum(out["ops"].values()) == pytest.approx(10e-6)  # self times tile the span
     assert abs(out["async"]["async-copy"] - 7e-6) < 1e-12   # separate, not in ops
     assert out["busy_s"] == pytest.approx(10e-6) and out["steps"] == 1
+
+def test_roofline_bounds_and_waste():
+    """Roofline math: compute- vs memory-bound classification against the named
+    peaks, gap = achieved/SOL, available sums only POSITIVE waste (fusions whose
+    declared bytes exceed true HBM traffic must not cancel real headroom)."""
+    from llama_x_tpu.train.xprof import roofline
+
+    peaks = {"bf16_tflops": 100.0, "int8_tflops": 200.0, "hbm_gbps": 1000.0}
+    details = {
+        # 1e12 flops @ bf16 peak -> SOL 10 ms; ran 20 ms -> gap 2, waste 10 ms
+        "fusion.1": {"self_s": 0.020, "occurrences": 1,
+                     "flops_per_exec": int(1e12), "bytes_per_exec": int(1e6)},
+        # int8-named op gets the int8 peak: SOL 5 ms; ran 6 ms -> waste 1 ms
+        "int8_mm_pallas.2": {"self_s": 0.006, "occurrences": 1,
+                             "flops_per_exec": int(1e12), "bytes_per_exec": 0},
+        # memory-bound: 1e7 B @ 1000 GB/s -> SOL 10 us; ran 30 us over 2 execs
+        "copy.3": {"self_s": 0.00006, "occurrences": 2,
+                   "flops_per_exec": 0, "bytes_per_exec": int(1e7)},
+        # declared bytes OVERCOUNT (negative waste): must not reduce available_ms
+        "fusion.4": {"self_s": 0.001, "occurrences": 1,
+                     "flops_per_exec": 0, "bytes_per_exec": int(1e9)},  # SOL 1 ms? no: 1e9/1e12 s = 1 ms -> waste 0
+        "fusion.5": {"self_s": 0.0005, "occurrences": 1,
+                     "flops_per_exec": 0, "bytes_per_exec": int(1e9)},  # SOL 1 ms > self 0.5 ms
+        # no cost metadata -> skipped
+        "infeed.6": {"self_s": 0.5, "occurrences": 1, "flops_per_exec": 0, "bytes_per_exec": 0},
+    }
+    rl = roofline(details, peaks=peaks)
+    by_op = {r["op"]: r for r in rl["ops"]}
+    assert "infeed.6" not in by_op
+    assert by_op["fusion.1"]["bound"] == "compute" and by_op["fusion.1"]["gap"] == 2.0
+    assert by_op["fusion.1"]["waste_ms"] == pytest.approx(10.0)
+    assert by_op["int8_mm_pallas.2"]["sol_ms"] == pytest.approx(5.0)  # int8 peak used
+    assert by_op["copy.3"]["bound"] == "memory"
+    assert by_op["copy.3"]["sol_ms"] == pytest.approx(0.02)  # 2 execs x 10 us
+    assert by_op["fusion.5"]["waste_ms"] < 0  # overcounted bytes -> negative row…
+    assert rl["available_ms"] == pytest.approx(
+        sum(r["waste_ms"] for r in rl["ops"] if r["waste_ms"] > 0))  # …excluded here
+    # worklist sorted by reclaimable time, biggest first
+    wastes = [r["waste_ms"] for r in rl["ops"]]
+    assert wastes == sorted(wastes, reverse=True)

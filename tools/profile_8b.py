@@ -36,7 +36,7 @@ def main():
                              "the trace was captured")
     args = parser.parse_args()
 
-    from llama_x_tpu.train.xprof import _bucket, device_summary, op_details
+    from llama_x_tpu.train.xprof import _bucket, device_summary, op_details, roofline
 
     if args.reuse_trace:
         _summarize(args, step_ms=args.wall_ms, _bucket=_bucket,
@@ -199,6 +199,14 @@ def _summarize(args, step_ms, _bucket, device_summary, op_details):
             for name, t in sorted(async_buckets.items(), key=lambda x: -x[1])[:6]
         ],
     }
+    rl = roofline(details, steps=args.steps)
+    artifact["roofline"] = {
+        "available_ms_per_step": rl["available_ms"],
+        "sol_speedup_ceiling": rl["sol_speedup"],
+        "worst_offenders": rl["ops"][:10],
+    }
+    print(f"== roofline: {rl['available_ms']:.1f} ms/step above per-op speed-of-light "
+          f"({rl['sol_speedup']}x ceiling on this op mix)")
     out_path.write_text(json.dumps(artifact, indent=1))
     print(f"wrote {out_path}")
 

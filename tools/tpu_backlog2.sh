@@ -23,11 +23,19 @@ step() { # step <name> <timeout_s> <cmd...>
   echo "=== $name rc=$? $(date +%H:%M:%S)" >> $LOG/driver.log
 }
 
-timeout 720 python -c "
+# Wait (up to ~6 h) for the tunnel to come back — downtime measured in hours is the
+# round-4 norm (BENCH_r03 rc=1; this morning's probes hung too). One 10-min
+# wait_for_backend pass per outer loop, 5-min sleeps in between.
+for i in $(seq 1 24); do
+  timeout 720 python -c "
 from llama_x_tpu.utils.backend_probe import wait_for_backend
 import sys; res = wait_for_backend(budget_s=600)
-sys.exit(0 if res['ok'] else 1)" > $LOG/probe.log 2>&1
-if [ $? -ne 0 ]; then echo "BACKEND DOWN — aborting $(date +%H:%M:%S)" >> $LOG/driver.log; exit 1; fi
+sys.exit(0 if res['ok'] else 1)" >> $LOG/probe.log 2>&1
+  if [ $? -eq 0 ]; then break; fi
+  echo "backend still down (pass $i) $(date +%H:%M:%S)" >> $LOG/driver.log
+  if [ "$i" -eq 24 ]; then echo "BACKEND DOWN — aborting $(date +%H:%M:%S)" >> $LOG/driver.log; exit 1; fi
+  sleep 300
+done
 echo "=== probe ok $(date +%H:%M:%S)" >> $LOG/driver.log
 
 step bench_grouped_lora 3600 python bench.py
