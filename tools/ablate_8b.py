@@ -79,11 +79,25 @@ VARIANTS = [
     ("remat=flash_q8", {"remat_policy": "flash_q8"}),
     ("remat=flash_qkv_q8", {"remat_policy": "flash_qkv_q8"}),
     ("remat=flash_proj_q8", {"remat_policy": "flash_proj_q8"}),
+    # q8s = h1-only residual (h3 recomputed with one GEMM): half the q8 residual
+    # memory — the full-q8 rows OOM at 8B/S=4096 (runtime HBM, surfaces as a remote
+    # compile 500 — tools/repro_q8_compile.py), these are the 16 GB fit
+    ("remat=flash_q8s", {"remat_policy": "flash_q8s"}),
+    ("remat=flash_proj_q8s", {"remat_policy": "flash_proj_q8s"}),
 ]
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default="",
+                    help="comma-separated substring filter on variant names (default: all)")
+    args = ap.parse_args()
+    wanted = [w for w in args.variants.split(",") if w]
     for name, overrides in VARIANTS:
+        if wanted and not any(w in name for w in wanted):
+            continue
         try:
             dt = step_time(overrides)
             print(f"{name:42s} {dt*1e3:8.1f} ms/step", flush=True)

@@ -96,10 +96,11 @@ def main():
         float(metrics["loss"])
 
     _summarize(args, step_ms=step_ms, _bucket=_bucket,
-               device_summary=device_summary, op_details=op_details)
+               device_summary=device_summary, op_details=op_details,
+               roofline=roofline)
 
 
-def _summarize(args, step_ms, _bucket, device_summary, op_details):
+def _summarize(args, step_ms, _bucket, device_summary, op_details, roofline):
     planes = device_summary(Path(args.trace_dir))
     out_path = Path(args.out)
     out_path.parent.mkdir(parents=True, exist_ok=True)
