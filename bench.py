@@ -52,9 +52,11 @@ def qlora_step_flops(config, text_len: int, n_lora: int) -> float:
 # dgrads through the frozen int8 base on the int8 MXU path (ops/int8.py
 # dynamic_int8_bwd); --no_int8_bwd reverts to bf16 dgrads for comparison
 INT8_BWD = True
-# remat policy for the 8B step; "flash_proj_q8" saves h1/h3 rowwise-int8 so the
-# backward never re-runs the w1/w3 F-wide GEMMs (models/llama.py feed_forward_q8)
-REMAT = "flash_proj"
+# remat policy for the 8B step; "flash_q8s" saves the flash residuals + h1 rowwise-
+# int8 (h3 recomputed with one GEMM — models/llama.py feed_forward_q8s): measured
+# 898.6 vs 933.5 ms against flash_proj in ablation and 897 ms / 74.97% MFU in the
+# driver-shaped bench (2026-08-18); the full-q8 variants OOM at 8B/S=4096
+REMAT = "flash_q8s"
 
 
 def build_8b_qlora():

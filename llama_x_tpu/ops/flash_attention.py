@@ -103,6 +103,48 @@ def _needed(q_start, kv_start, bq, bk, *, causal, prefix):
 
 
 
+
+# ---------------------------------------------------------------------------
+# whole-block mask skip + base-2 softmax helpers
+# ---------------------------------------------------------------------------
+#
+# On the 8B bench shape (S=4096, bq=256, bk=1024, causal + ~2000-token
+# bidirectional audio prefix) ~64% of COMPUTED blocks are provably all-unmasked
+# (strictly below the causal diagonal, or fully inside the prefix): building and
+# applying the iota/compare mask chain there is pure VPU waste next to the two
+# MXU matmuls. _all_true is the traced predicate that picks the unmasked kernel
+# body. The base-2 constants serve the exp2/log2 online softmax (exp(x) lowers
+# to exp2(x*log2e) plus a multiply on every [rows, bk] tile; folding log2e into
+# the logit scale deletes that multiply).
+
+_LOG2E = 1.4426950408889634
+_LN2 = 0.6931471805599453
+
+
+def _seg_all_same(qseg, kseg):
+    """True iff every q row and kv col in the tile shares one segment id."""
+    qmin, qmax = jnp.min(qseg), jnp.max(qseg)
+    kmin, kmax = jnp.min(kseg), jnp.max(kseg)
+    return (qmin == qmax) & (kmin == kmax) & (qmin == kmin)
+
+
+def _all_true(q_start, kv_start, bq, bk, *, causal, qseg, kseg, prefix):
+    """Traced predicate: the [bq, bk] mask tile is provably all-True (so the
+    masked-logits path can be skipped entirely). Mirrors _build_mask:
+    (causal & same_seg) | in_prefix."""
+    base = None
+    if causal:
+        base = q_start >= kv_start + bk - 1
+    if qseg is not None:
+        same = _seg_all_same(qseg, kseg)
+        base = same if base is None else (base & same)
+    out = base
+    if prefix is not None:
+        pfull = (q_start + bq - 1 < prefix) & (kv_start + bk - 1 < prefix)
+        out = pfull if out is None else (out | pfull)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
@@ -171,6 +213,8 @@ def _fwd_kernel(*refs, scale, causal, has_seg, has_prefix, has_offsets, dropout_
     q_start = i * bq + (offs_ref[0, 0] if has_offsets else 0)
     kv_start = j * bk + (offs_ref[0, 1] if has_offsets else 0)
     prefix = prefix_ref[pl.program_id(0), 0] if has_prefix else None
+    qseg = qseg_ref[0] if has_seg else None  # [bq, 1]
+    kseg = kseg_ref[0] if has_seg else None  # [1, bk]
     # program ids read at kernel top level (the interpreter does not substitute them
     # inside pl.when bodies); the keep mask is seeded on the (i, j) block pair
     keep = (
@@ -178,25 +222,25 @@ def _fwd_kernel(*refs, scale, causal, has_seg, has_prefix, has_offsets, dropout_
         if dropout_rate > 0.0 else None
     )
 
-    def compute():
+    def compute(masked):
         q = q_ref[0, 0].reshape(rows, -1)  # [group*bq, D]
         k = k_ref[0, 0]  # [bk, D]
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s *= scale
-        mask = _build_mask(
-            q_start, kv_start, bq, bk,
-            causal=causal,
-            qseg=qseg_ref[0] if has_seg else None,  # [bq, 1]
-            kseg=kseg_ref[0] if has_seg else None,  # [1, bk]
-            prefix=prefix,
-        )
-        s = _apply_mask(s, mask, group, bq, bk)
+        # base-2 online softmax: fold log2(e) into the logit scale so exp/log run as
+        # the VPU-native exp2/log2 (exp(x) otherwise lowers to exp2(x*log2e) + a mul
+        # on every [rows, bk] tile); values of p/l/alpha are bit-identical math
+        s *= scale * _LOG2E
+        if masked:
+            mask = _build_mask(
+                q_start, kv_start, bq, bk, causal=causal, qseg=qseg, kseg=kseg, prefix=prefix,
+            )
+            s = _apply_mask(s, mask, group, bq, bk)
         m_prev = m_ref[:, :1]  # [group*bq, 1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s - m_new)
         # softmax denominator uses UNDROPPED p (dropout applies to normalized probs:
         # out = (dropout(P) @ V) with P = softmax(s), ≡ modelling/llama.py:136)
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
@@ -211,17 +255,25 @@ def _fwd_kernel(*refs, scale, causal, has_seg, has_prefix, has_offsets, dropout_
         acc_ref[:] = acc_ref[:] * alpha + pv
 
     guard = _needed(q_start, kv_start, bq, bk, causal=causal, prefix=prefix)
-    if guard is None:
-        compute()
+    if not (causal or has_seg or has_prefix):
+        compute(False)
     else:
-        pl.when(guard)(compute)
+        # whole-block mask skip: blocks provably all-True (below the causal diagonal /
+        # fully inside the prefix / one uniform segment) never build or apply the
+        # iota-compare mask chain — ~64% of computed blocks on the 8B prefix-LM shape
+        allt = _all_true(q_start, kv_start, bq, bk, causal=causal, qseg=qseg,
+                         kseg=kseg, prefix=prefix)
+        need = jnp.bool_(True) if guard is None else guard
+        pl.when(need & allt)(lambda: compute(False))
+        pl.when(need & jnp.logical_not(allt))(lambda: compute(True))
 
     @pl.when(j == nk - 1)
     def _epilogue():
         l = l_ref[:, :1]
         out = (acc_ref[:] / jnp.where(l == 0.0, 1.0, l)).astype(out_ref.dtype)
         out_ref[0, 0] = out.reshape(group, bq, -1)
-        lse = m_ref[:, :1] + jnp.log(jnp.maximum(l, 1e-30))  # [group*bq, 1]
+        # m/l live in the base-2 domain; the stored lse is natural-log
+        lse = (m_ref[:, :1] + jnp.log2(jnp.maximum(l, 1e-30))) * _LN2  # [group*bq, 1]
         lse_ref[0, 0] = lse.reshape(group, bq, 1)
 
 
@@ -333,24 +385,26 @@ def _bwd_dkv_kernel(*refs, scale, causal, has_seg, has_prefix, has_offsets, drop
     q_start = i * bq + (offs_ref[0, 0] if has_offsets else 0)
     kv_start = j * bk + (offs_ref[0, 1] if has_offsets else 0)
     prefix = prefix_ref[pl.program_id(0), 0] if has_prefix else None
+    qseg = qseg_ref[0] if has_seg else None
+    kseg = kseg_ref[0] if has_seg else None
     # seeded (i=q block, j=kv block) exactly as the forward — same mask per pair
     keep = (
         _keep_for(seed_ref[0, 0], dropout_rate, rows, bk, pl.program_id(0), pl.program_id(1), i, j)
         if dropout_rate > 0.0 else None
     )
 
-    def compute():
+    def compute(masked):
         q = q_ref[0, 0].reshape(rows, -1)  # whole GQA group stacked [group*bq, D]
         k = k_ref[0, 0]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
-        mask = _build_mask(
-            q_start, kv_start, bq, bk, causal=causal,
-            qseg=qseg_ref[0] if has_seg else None,
-            kseg=kseg_ref[0] if has_seg else None,
-            prefix=prefix,
-        )
-        s = _apply_mask(s, mask, group, bq, bk)
-        p = jnp.exp(s - lse_ref[0, 0].reshape(rows, 1))  # [group*bq, bk]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s *= scale * _LOG2E  # base-2 domain (see _fwd_kernel)
+        if masked:
+            mask = _build_mask(
+                q_start, kv_start, bq, bk, causal=causal, qseg=qseg, kseg=kseg, prefix=prefix,
+            )
+            s = _apply_mask(s, mask, group, bq, bk)
+        # lse is stored natural-log; exp2(s2 - lse*log2e) == exp(s - lse)
+        p = jnp.exp2(s - lse_ref[0, 0].reshape(rows, 1) * _LOG2E)  # [group*bq, bk]
         do = do_ref[0, 0].reshape(rows, -1)  # [group*bq, D]
         # keep (hoisted to kernel top level) regenerates the EXACT forward mask for
         # this (i, j) block pair; with P_drop = P*keep:
@@ -375,16 +429,21 @@ def _bwd_dkv_kernel(*refs, scale, causal, has_seg, has_prefix, has_offsets, drop
             dq_blk = jax.lax.dot_general(
                 ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )
-            dqp_ref[0, 0, 0] = dq_blk.reshape(group, bq, -1)
+            dqp_ref[0, 0, 0] = dq_blk.reshape(group, bq, -1).astype(dqp_ref.dtype)
 
     guard = _needed(q_start, kv_start, bq, bk, causal=causal, prefix=prefix)
-    if guard is None:
-        compute()
+    if not (causal or has_seg or has_prefix):
+        compute(False)
     else:
-        pl.when(guard)(compute)
+        # whole-block mask skip, as in the forward
+        allt = _all_true(q_start, kv_start, bq, bk, causal=causal, qseg=qseg,
+                         kseg=kseg, prefix=prefix)
+        need = jnp.bool_(True) if guard is None else guard
+        pl.when(need & allt)(lambda: compute(False))
+        pl.when(need & jnp.logical_not(allt))(lambda: compute(True))
         if fused_dq:
 
-            @pl.when(jnp.logical_not(guard))
+            @pl.when(jnp.logical_not(need))
             def _zero_dq_partial():
                 dqp_ref[0, 0, 0] = jnp.zeros_like(dqp_ref[0, 0, 0])
 
@@ -476,7 +535,12 @@ def _bwd(q, k, v, qseg, kseg, prefix, out, lse, do, *, scale, causal, bq, bk,
         out_shape=[
             _struct((B, Hkv, Skv, D), jnp.float32, q),
             _struct((B, Hkv, Skv, D), jnp.float32, q),
-            _struct((B, Hkv, nk, group, Sq, D), jnp.float32, q),
+            # dq partials in q.dtype when the caller casts anyway (training path):
+            # the final dq is rounded to q.dtype regardless and nk <= 8, so per-
+            # partial rounding is the same order as the final rounding — halves
+            # 2*nk*Sq*Hq*D bytes of HBM partial traffic per layer. Ring attention
+            # (cast=False) accumulates dq across kv shards and keeps fp32.
+            _struct((B, Hkv, nk, group, Sq, D), jnp.float32 if not cast else q.dtype, q),
         ],
         scratch_shapes=[pltpu.VMEM((bk, D), jnp.float32), pltpu.VMEM((bk, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -490,7 +554,7 @@ def _bwd(q, k, v, qseg, kseg, prefix, out, lse, do, *, scale, causal, bq, bk,
         interpret=INTERPRET,
     )(*operands)
 
-    dq = dq_partials.sum(axis=2).reshape(B, Hq, Sq, D)
+    dq = jnp.sum(dq_partials, axis=2, dtype=jnp.float32).reshape(B, Hq, Sq, D)
     if not cast:
         return dq, dk, dv  # fp32 — ring attention accumulates across kv blocks
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
@@ -605,10 +669,6 @@ def flash_attention(
         if use_dropout else jnp.zeros((1, 1), jnp.int32)
     )
 
-    qt = q.transpose(0, 2, 1, 3)  # [B, Hq, Sq, D]
-    kt = k.transpose(0, 2, 1, 3)
-    vt = v.transpose(0, 2, 1, 3)
-
     has_seg = mi.segment_ids is not None
     kv_seg = mi.kv_segment_ids if mi.kv_segment_ids is not None else mi.segment_ids
     has_prefix = mi.prefix_len is not None
@@ -618,6 +678,15 @@ def flash_attention(
     kseg = kv_seg.astype(jnp.int32).reshape(B, 1, Skv) if has_seg else jnp.zeros((B, 1, 1), jnp.int32)
     prefix = mi.prefix_len.astype(jnp.int32).reshape(B, 1) if has_prefix else jnp.zeros((B, 1), jnp.int32)
 
+    # head-major [B, H, S, D] kernels behind model-layout transposes. A layout-
+    # native variant (lane-sliced [bq, group*D] q blocks, no transposes) was built
+    # and measured SLOWER on the 8B shape (fwd 0.85x, fwd+bwd 0.81x —
+    # tools/bench_flash_native.py): the per-head [bq, D] matmuls fragment the MXU
+    # vs the stacked [group*bq, D] ones, and the strided k/v lane-slice DMA
+    # (256-byte chunks) costs more than the XLA transposes it removes.
+    qt = q.transpose(0, 2, 1, 3)  # [B, Hq, Sq, D]
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
     f = _make_flash(
         float(scale), bool(mi.causal), has_seg, has_prefix, bq, bk,
         float(dropout_rate) if use_dropout else 0.0,

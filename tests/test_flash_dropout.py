@@ -2,7 +2,9 @@
 
 The keep-mask is a counter-based hash of (seed, block coords) — pure jnp — so these
 tests rebuild the EXACT mask outside the kernel and check the kernel fwd AND bwd
-against a dense reference using that mask."""
+against a dense reference using that mask. Parametrized over head_dim (64 and 128)
+so both swept block geometries run; all head dims take the head-major kernels
+(per-kv-head seeding, rows=GROUP*BQ)."""
 
 import jax
 import jax.numpy as jnp
@@ -21,39 +23,44 @@ def interpret():
     fa.INTERPRET = False
 
 
-B, Hq, Hkv, S, D = 1, 4, 2, 256, 64
+B, Hq, Hkv, S = 1, 4, 2, 256
 GROUP = Hq // Hkv
 BQ = BK = 128  # forces a 2x2 block grid so per-block seeding is exercised
 RATE = 0.3
 
+DIMS = pytest.mark.parametrize("d", [64, 128], ids=["d64", "d128"])
 
-def _qkv(rng):
+
+def _qkv(rng, d):
     mk = lambda shape: jnp.asarray(rng.standard_normal(shape).astype(np.float32) * 0.5)
-    return mk((B, S, Hq, D)), mk((B, S, Hkv, D)), mk((B, S, Hkv, D))
+    return mk((B, S, Hq, d)), mk((B, S, Hkv, d)), mk((B, S, Hkv, d))
 
 
-def _oracle_keep(seed):
+def _oracle_keep(seed, d):
     """[B, Hq, S, S] keep-scale mask rebuilt from the kernel's hash."""
-    mask = np.zeros((B, Hkv, GROUP, S, S), np.float32)
+    mask = np.zeros((B, Hq, S, S), np.float32)
     for b in range(B):
-        for h in range(Hkv):
+        for hq in range(Hq):
             for i in range(S // BQ):
                 for j in range(S // BK):
-                    blk = np.asarray(fa._keep_for(jnp.uint32(seed), RATE, GROUP * BQ, BK, b, h, i, j))
-                    mask[b, h, :, i * BQ : (i + 1) * BQ, j * BK : (j + 1) * BK] = blk.reshape(GROUP, BQ, BK)
-    return jnp.asarray(mask.reshape(B, Hq, S, S))
+                    # the GQA group rides one block (rows = GROUP*BQ, head-major),
+                    # seeded on the kv head
+                    g, h = hq % GROUP, hq // GROUP
+                    full = np.asarray(
+                        fa._keep_for(jnp.uint32(seed), RATE, GROUP * BQ, BK, b, h, i, j)
+                    ).reshape(GROUP, BQ, BK)
+                    mask[b, hq, i * BQ : (i + 1) * BQ, j * BK : (j + 1) * BK] = full[g]
+    return jnp.asarray(mask)
 
 
-def _dense_dropout_attention(q, k, v, keep):
+def _dense_dropout_attention(q, k, v, keep, d):
     """Reference: P = softmax(causal logits); out = (P * keep) @ V."""
     qf = q.astype(jnp.float32).transpose(0, 2, 1, 3)  # [B, Hq, S, D]
-    kf = jnp.repeat(k.astype(jnp.float32), GROUP, axis=2).transpose(0, 2, 1, 3)
-    vf = jnp.repeat(v.astype(jnp.float32), GROUP, axis=2).transpose(0, 2, 1, 3)
-    # repeat_interleave semantics must match q5 = reshape(B, Hkv, group, ...):
+    # repeat_interleave semantics must match the kernels' GQA grouping:
     # head hq -> kv head hq // group
-    kf = k.astype(jnp.float32).transpose(0, 2, 1, 3)[:, :, None].repeat(GROUP, 2).reshape(B, Hq, S, D)
-    vf = v.astype(jnp.float32).transpose(0, 2, 1, 3)[:, :, None].repeat(GROUP, 2).reshape(B, Hq, S, D)
-    logits = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) / D**0.5
+    kf = k.astype(jnp.float32).transpose(0, 2, 1, 3)[:, :, None].repeat(GROUP, 2).reshape(B, Hq, S, d)
+    vf = v.astype(jnp.float32).transpose(0, 2, 1, 3)[:, :, None].repeat(GROUP, 2).reshape(B, Hq, S, d)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) / d**0.5
     causal = jnp.tril(jnp.ones((S, S), bool))
     logits = jnp.where(causal[None, None], logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
@@ -68,32 +75,34 @@ def _flash(q, k, v, rng_key):
     )
 
 
-def test_dropout_fwd_matches_masked_dense(rng):
-    q, k, v = _qkv(rng)
+@DIMS
+def test_dropout_fwd_matches_masked_dense(rng, d):
+    q, k, v = _qkv(rng, d)
     key = jax.random.PRNGKey(7)
     got = _flash(q, k, v, key)
     seed = int(jax.random.randint(key, (1, 1), 0, jnp.iinfo(jnp.int32).max, jnp.int32)[0, 0])
-    want = _dense_dropout_attention(q, k, v, _oracle_keep(seed))
+    want = _dense_dropout_attention(q, k, v, _oracle_keep(seed, d), d)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
 
 
-def test_dropout_bwd_matches_masked_dense(rng):
-    q, k, v = _qkv(rng)
+@DIMS
+def test_dropout_bwd_matches_masked_dense(rng, d):
+    q, k, v = _qkv(rng, d)
     key = jax.random.PRNGKey(3)
     seed = int(jax.random.randint(key, (1, 1), 0, jnp.iinfo(jnp.int32).max, jnp.int32)[0, 0])
-    keep = _oracle_keep(seed)
-    ct = jnp.asarray(np.random.default_rng(1).standard_normal((B, S, Hq, D)).astype(np.float32))
+    keep = _oracle_keep(seed, d)
+    ct = jnp.asarray(np.random.default_rng(1).standard_normal((B, S, Hq, d)).astype(np.float32))
 
     g1 = jax.grad(lambda q, k, v: jnp.sum(_flash(q, k, v, key) * ct), argnums=(0, 1, 2))(q, k, v)
     g2 = jax.grad(
-        lambda q, k, v: jnp.sum(_dense_dropout_attention(q, k, v, keep) * ct), argnums=(0, 1, 2)
+        lambda q, k, v: jnp.sum(_dense_dropout_attention(q, k, v, keep, d) * ct), argnums=(0, 1, 2)
     )(q, k, v)
     for a, b, n in zip(g1, g2, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3, err_msg=n)
 
 
 def test_dropout_deterministic_and_rate(rng):
-    q, k, v = _qkv(rng)
+    q, k, v = _qkv(rng, 128)
     key = jax.random.PRNGKey(0)
     a = _flash(q, k, v, key)
     b = _flash(q, k, v, key)

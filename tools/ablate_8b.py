@@ -67,7 +67,7 @@ def step_time(config_overrides: dict, n_iters: int = 6) -> float:
 
 
 VARIANTS = [
-    ("baseline (flash_proj remat, ce_chunks=8)", {}),
+    ("baseline (bench.REMAT default, ce_chunks=8)", {}),
     ("remat=flash", {"remat_policy": "flash"}),
     ("ce_chunks=4", {"fused_ce_chunks": 4}),
     ("ce_chunks=16", {"fused_ce_chunks": 16}),
@@ -83,6 +83,10 @@ VARIANTS = [
     # memory — the full-q8 rows OOM at 8B/S=4096 (runtime HBM, surfaces as a remote
     # compile 500 — tools/repro_q8_compile.py), these are the 16 GB fit
     ("remat=flash_q8s", {"remat_policy": "flash_q8s"}),
+    # qkv saves (+1.5 GB) on top of q8s: prunes the 3 qkv int8-GEMM backward
+    # recomputes (~0.6 ms/layer) — the middle point between flash_q8s (fits) and
+    # flash_proj_q8s (+3.5 GB, OOM)
+    ("remat=flash_qkv_q8s", {"remat_policy": "flash_qkv_q8s"}),
     ("remat=flash_proj_q8s", {"remat_policy": "flash_proj_q8s"}),
 ]
 
