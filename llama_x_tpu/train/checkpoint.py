@@ -28,6 +28,14 @@ def save_checkpoint(ckpt_dir: str | Path, state, step: int) -> Path:
     ckpt_dir = Path(ckpt_dir).absolute()
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     path = ckpt_dir / f"step_{step:08d}"
+    if path.exists():
+        # the end-of-training save lands on the same step as the last interval save
+        # whenever n_steps % ckpt_interval == 0 — orbax refuses to overwrite, and the
+        # bytes would be identical anyway, so just repoint "last"
+        tmp = ckpt_dir / ".last.tmp"
+        tmp.write_text(path.name)
+        os.replace(tmp, ckpt_dir / "last")
+        return path
     if _HAVE_ORBAX:
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, state)

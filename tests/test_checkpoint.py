@@ -9,7 +9,12 @@ import optax
 
 from llama_x_tpu.adapters import apply_linear_adapter, quantize_linear, trainable_mask
 from llama_x_tpu.models import llama
-from llama_x_tpu.train.checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+from llama_x_tpu.train.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    restore_params,
+    save_checkpoint,
+)
 from llama_x_tpu.train.trainer import init_train_state, make_train_step
 from llama_x_tpu.utils.tree import named_leaves
 
@@ -131,3 +136,17 @@ def test_train_save_eval_roundtrip(tmp_path, monkeypatch, capsys):
     eval_librispeech.main()
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["n_utts"] == 1 and 0.0 <= rec["wer"] <= 10.0
+
+
+def test_resave_same_step_is_idempotent(tmp_path):
+    """The end-of-training save lands on the same step as the last interval save
+    whenever n_steps % ckpt_interval == 0 — must not raise (orbax refuses to
+    overwrite an existing directory) and must keep 'last' pointing at the step."""
+    state = {"params": {"w": jnp.arange(4, dtype=jnp.float32)}, "step": jnp.int32(3000)}
+    p1 = save_checkpoint(tmp_path, state, step=3000)
+    p2 = save_checkpoint(tmp_path, state, step=3000)  # would raise before the guard
+    assert p1 == p2
+    assert latest_checkpoint(tmp_path) == p1
+    restored, step = restore_params(p2)
+    assert step == 3000
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.arange(4, dtype=np.float32))

@@ -92,3 +92,54 @@ def test_flash_fallback_on_unaligned():
     q = jnp.asarray(rng.standard_normal((1, 100, 2, 64)).astype(np.float32))
     out = fa.flash_attention(q, q, q, MaskInfo(causal=True))
     assert out.shape == q.shape
+
+
+def test_all_true_predicate_safe_and_useful(rng):
+    """_all_true (the whole-block mask-skip predicate) is a conservative
+    under-approximation: it must NEVER be True when the _build_mask tile has a
+    masked element (a false positive silently skips masking = wrong attention),
+    but it may miss all-True tiles (e.g. a causal∪prefix union that covers the
+    tile without either term being uniform — only a lost skip). _needed must be
+    True whenever ANY element is unmasked (a false negative drops the block)."""
+    bq = bk = 64
+    hits = 0
+    for trial in range(300):
+        causal = bool(rng.integers(2))
+        has_seg = bool(rng.integers(2))
+        has_prefix = bool(rng.integers(2))
+        if not (causal or has_seg or has_prefix):
+            continue  # kernel never consults the predicates without mask sources
+        q_start = int(rng.integers(0, 512))
+        kv_start = int(rng.integers(0, 512))
+        # segment ids sorted along the sequence like the packed pipeline produces
+        qseg = jnp.asarray(np.sort(rng.integers(1, 4, (bq, 1))), jnp.int32) if has_seg else None
+        kseg = jnp.asarray(np.sort(rng.integers(1, 4, (1, bk))), jnp.int32) if has_seg else None
+        prefix = jnp.int32(rng.integers(0, 600)) if has_prefix else None
+
+        mask = fa._build_mask(q_start, kv_start, bq, bk, causal=causal,
+                              qseg=qseg, kseg=kseg, prefix=prefix)
+        allt = fa._all_true(q_start, kv_start, bq, bk, causal=causal,
+                            qseg=qseg, kseg=kseg, prefix=prefix)
+        need = fa._needed(q_start, kv_start, bq, bk, causal=causal, prefix=prefix)
+
+        m = np.asarray(mask) if mask is not None else np.ones((bq, bk), bool)
+        if bool(allt):
+            hits += 1
+            assert bool(m.all()), (
+                f"trial {trial}: _all_true=True but the mask has masked elements "
+                f"(causal={causal} seg={has_seg} prefix={prefix} q0={q_start} kv0={kv_start})"
+            )
+        if need is not None and m.any():
+            assert bool(need), (
+                f"trial {trial}: _needed=False but the mask has unmasked elements "
+                f"(causal={causal} prefix={prefix} q0={q_start} kv0={kv_start})"
+            )
+    assert hits > 20, f"predicate fired only {hits} times — skip path effectively dead"
+
+    # targeted positives: the two block classes the 8B bench step skips masking on
+    assert bool(fa._all_true(512, 0, bq, bk, causal=True, qseg=None, kseg=None, prefix=None))
+    assert bool(fa._all_true(0, 0, bq, bk, causal=True, qseg=None, kseg=None,
+                             prefix=jnp.int32(256)))
+    # uniform-segment tile strictly below the diagonal
+    u = jnp.ones((bq, 1), jnp.int32)
+    assert bool(fa._all_true(512, 0, bq, bk, causal=True, qseg=u, kseg=u.T, prefix=None))
