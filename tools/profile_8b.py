@@ -40,7 +40,8 @@ def main():
 
     if args.reuse_trace:
         _summarize(args, step_ms=args.wall_ms, _bucket=_bucket,
-                   device_summary=device_summary, op_details=op_details)
+                   device_summary=device_summary, op_details=op_details,
+                   roofline=roofline)
         return
 
     from llama_x_tpu.utils.cache import enable_compilation_cache
@@ -132,8 +133,13 @@ def _summarize(args, step_ms, _bucket, device_summary, op_details, roofline):
         busy_s += plane["busy_s"]
         n_step_events += plane["steps"]
     total = sum(ops.values())
-    per_step = total / args.steps
-    busy_per_step = busy_s / max(n_step_events, 1)
+    # normalize by the STEP EVENTS the trace actually contains, not the loop count
+    # the caller asked for — the profiler context regularly captures surrounding
+    # dispatches (warmup replay etc.), which silently inflated "per-step" numbers
+    # by the extra-steps factor when divided by args.steps
+    n_steps = max(n_step_events, 1) if n_step_events else max(args.steps, 1)
+    per_step = total / n_steps
+    busy_per_step = busy_s / n_steps
 
     buckets = collections.defaultdict(float)
     for name, t in ops.items():
@@ -153,7 +159,7 @@ def _summarize(args, step_ms, _bucket, device_summary, op_details, roofline):
         extra = (f" [{d.get('category','')}, {d.get('achieved_tflops', 0)} TF/s, "
                  f"{d.get('achieved_gbps', 0)} GB/s, {d.get('source','').split('/')[-1]}]"
                  if d else "")
-        print(f"  {t/args.steps*1e3:9.2f} ms/step  {100*t/total:5.1f}%  {name[:60]}{extra}")
+        print(f"  {t/n_steps*1e3:9.2f} ms/step  {100*t/total:5.1f}%  {name[:60]}{extra}")
 
     # by model source line (where remat scopes blur op names, the source survives)
     by_source = collections.defaultdict(float)
@@ -163,21 +169,22 @@ def _summarize(args, step_ms, _bucket, device_summary, op_details, roofline):
     src_total = sum(by_source.values())
     top_sources = sorted(by_source.items(), key=lambda x: -x[1])[:14]
     for src, t in top_sources:
-        print(f"  {t/args.steps*1e3:9.2f} ms/step  {100*t/max(src_total,1e-12):5.1f}%  {src[-80:]}")
+        print(f"  {t/n_steps*1e3:9.2f} ms/step  {100*t/max(src_total,1e-12):5.1f}%  {src[-80:]}")
     print("== op families (self time)")
     for name, t in sorted(buckets.items(), key=lambda x: -x[1])[:14]:
-        print(f"  {t/args.steps*1e3:9.2f} ms/step  {100*t/total:5.1f}%  {name}")
+        print(f"  {t/n_steps*1e3:9.2f} ms/step  {100*t/total:5.1f}%  {name}")
     print("== async families (overlapped with the above, not additive)")
     for name, t in sorted(async_buckets.items(), key=lambda x: -x[1])[:6]:
-        print(f"  {t/args.steps*1e3:9.2f} ms/step  {name}")
+        print(f"  {t/n_steps*1e3:9.2f} ms/step  {name}")
 
     artifact = {
         "step_ms_wall": round(step_ms, 1) if step_ms is not None else None,
         "traced_steps": args.steps,
+        "trace_step_events": n_step_events,
         "device_busy_ms_per_step": round(busy_per_step * 1e3, 2),
         "op_self_ms_per_step_attributed": round(per_step * 1e3, 2),
         "top_ops": [
-            {"op": name[:120], "ms_per_step": round(t / args.steps * 1e3, 3),
+            {"op": name[:120], "ms_per_step": round(t / n_steps * 1e3, 3),
              "pct": round(100 * t / total, 2),
              **({"category": details[name].get("category", ""),
                  "achieved_tflops": details[name].get("achieved_tflops", 0),
@@ -187,20 +194,20 @@ def _summarize(args, step_ms, _bucket, device_summary, op_details, roofline):
             for name, t in top
         ],
         "by_source": [
-            {"source": src, "ms_per_step": round(t / args.steps * 1e3, 3)}
+            {"source": src, "ms_per_step": round(t / n_steps * 1e3, 3)}
             for src, t in top_sources
         ],
         "op_families": [
-            {"family": name, "ms_per_step": round(t / args.steps * 1e3, 3),
+            {"family": name, "ms_per_step": round(t / n_steps * 1e3, 3),
              "pct": round(100 * t / total, 2)}
             for name, t in sorted(buckets.items(), key=lambda x: -x[1])[:14]
         ],
         "async_families_overlapped": [
-            {"family": name, "ms_per_step": round(t / args.steps * 1e3, 3)}
+            {"family": name, "ms_per_step": round(t / n_steps * 1e3, 3)}
             for name, t in sorted(async_buckets.items(), key=lambda x: -x[1])[:6]
         ],
     }
-    rl = roofline(details, steps=args.steps)
+    rl = roofline(details, steps=n_steps)
     artifact["roofline"] = {
         "available_ms_per_step": rl["available_ms"],
         "sol_speedup_ceiling": rl["sol_speedup"],
