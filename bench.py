@@ -72,6 +72,10 @@ def build_8b_qlora():
         activation_checkpointing=True, remat_policy=REMAT,
         fused_ce_chunks=8, attn_impl="auto", dynamic_int8_act=True,
         dynamic_int8_bwd=INT8_BWD,
+        # head is in freeze_prefixes below: the fused-CE backward skips the dK GEMM
+        # and its [D, V] fp32 chunk-loop accumulator (both otherwise computed and
+        # then discarded by the optimizer mask)
+        frozen_head=True,
     )
     L, D = config.num_layers, config.embed_dim
     HD, NH, NKV, F, V = config.head_dim, config.num_heads, config.num_kv_heads, config.intermediate_dim, config.vocab_size

@@ -62,6 +62,12 @@ class LlamaConfig:
     # --- TPU-native knobs (no reference counterpart) ---
     attn_impl: str = "auto"  # "auto" | "xla" | "flash" | "ring" | "ulysses"
     fused_ce_chunks: int = 0  # 0 = plain CE; >0 = chunked fused-linear CE
+    # LM head frozen by the optimizer mask (QLoRA default — the reference freezes
+    # everything but adapters and never adapts the head): the fused-CE backward then
+    # skips the dK GEMM + its [D, V] fp32 chunk-loop accumulator entirely. Set by the
+    # trainers from the actual trainable mask; MUST match it (a trainable head with
+    # frozen_head=True silently trains nothing).
+    frozen_head: bool = False
     dynamic_int8_act: bool = False  # set by the quantize transform
     dynamic_int8_bwd: bool = False  # int8 MXU dgrads through the frozen base (ops/int8.py)
     norm_eps: float = 1e-5
@@ -581,7 +587,10 @@ def head(params: Params, config: LlamaConfig, x: jnp.ndarray, labels: jnp.ndarra
         kernel = params["output"]["kernel"]
     if labels is not None and config.fused_ce_chunks > 0:
         n = x.shape[0] * x.shape[1]
-        return fused_linear_cross_entropy(x.reshape(n, -1), kernel, labels.reshape(n), config.fused_ce_chunks)
+        return fused_linear_cross_entropy(
+            x.reshape(n, -1), kernel, labels.reshape(n), config.fused_ce_chunks,
+            not config.frozen_head,
+        )
     logits = x @ kernel.astype(x.dtype)
     if labels is not None:
         return cross_entropy_loss(logits, labels)

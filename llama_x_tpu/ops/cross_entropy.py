@@ -82,23 +82,34 @@ def _flce_forward(hidden, kernel, labels, num_chunks):
     return sum_loss / n_valid, n_valid
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def fused_linear_cross_entropy(
-    hidden: jnp.ndarray, kernel: jnp.ndarray, labels: jnp.ndarray, num_chunks: int = 8
+    hidden: jnp.ndarray,
+    kernel: jnp.ndarray,
+    labels: jnp.ndarray,
+    num_chunks: int = 8,
+    kernel_grad: bool = True,
 ) -> jnp.ndarray:
     """CE( hidden @ kernel , labels ) computed in row chunks; custom backward.
 
     hidden: [N, D] (flattened batch*seq), kernel: [D, V], labels: [N] int32.
-    """
+
+    kernel_grad=False declares the LM head frozen (QLoRA: the reference freezes
+    everything but the adapters, train_metamathqa.py:177, and never adapts the head,
+    train_metamathqa.py:178-180 TODO note): the backward then skips the dK GEMM
+    (2·N·D·V flops — as large as the dH GEMM) AND the fp32 [D, V] accumulator that
+    must otherwise ride the chunk loop carry (2.1 GB at Llama-3 vocab, read+written
+    every chunk). The returned dK is zeros; callers must only set this when the
+    optimizer mask actually freezes the head, or silently drop the head's training."""
     return _flce_forward(hidden, kernel, labels, num_chunks)[0]
 
 
-def _flce_fwd(hidden, kernel, labels, num_chunks):
+def _flce_fwd(hidden, kernel, labels, num_chunks, kernel_grad):
     loss, n_valid = _flce_forward(hidden, kernel, labels, num_chunks)
     return loss, (hidden, kernel, labels, n_valid)
 
 
-def _flce_bwd(num_chunks, res, g):
+def _flce_bwd(num_chunks, kernel_grad, res, g):
     hidden, kernel, labels, n_valid = res
     valid = labels != IGNORE_INDEX
     safe_labels = jnp.where(valid, labels, 0)
@@ -120,17 +131,27 @@ def _flce_bwd(num_chunks, res, g):
             dlogits, kernel, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         dh = jax.lax.dynamic_update_slice_in_dim(dh, dh_chunk, i * size, axis=0)
-        dk = dk + jax.lax.dot_general(
-            h, dlogits, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        if kernel_grad:
+            dk = dk + jax.lax.dot_general(
+                h, dlogits, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
         return (dh, dk)
 
     dh0 = _match_vma(jnp.zeros(hidden.shape, jnp.float32), hidden)
-    dk0 = _match_vma(jnp.zeros(kernel.shape, jnp.float32), hidden)
+    # frozen head: a [1, 1] placeholder keeps the carry structure without hauling a
+    # [D, V] fp32 accumulator through every chunk iteration
+    dk0 = _match_vma(
+        jnp.zeros(kernel.shape if kernel_grad else (1, 1), jnp.float32), hidden
+    )
     dh, dk = jax.lax.fori_loop(0, num_chunks, body, (dh0, dk0))
     scale = g / n_valid.astype(jnp.float32)
     dlabels = np.zeros(labels.shape, dtype=jax.dtypes.float0)  # int primal → float0 cotangent
-    return (dh * scale).astype(hidden.dtype), (dk * scale).astype(kernel.dtype), dlabels
+    dkernel = (
+        (dk * scale).astype(kernel.dtype)
+        if kernel_grad
+        else jnp.zeros(kernel.shape, kernel.dtype)
+    )
+    return (dh * scale).astype(hidden.dtype), dkernel, dlabels
 
 
 fused_linear_cross_entropy.defvjp(_flce_fwd, _flce_bwd)

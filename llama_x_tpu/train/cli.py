@@ -203,6 +203,15 @@ def build_model_params(args, model_cls, mesh=None, init_kwargs=None, hf_kwargs=N
         )
 
     mask = trainable_mask(params, tuple(args.freeze_prefixes))
+    # derive frozen_head from the ACTUAL mask (not the flag list) so the fused-CE
+    # backward skips the dK GEMM + [D, V] fp32 accumulator exactly when the optimizer
+    # would discard them anyway — by construction they can never disagree
+    head_trainable = (
+        mask["tok_embeddings"]["weight"]
+        if config.tied_embeddings
+        else mask.get("output", {}).get("kernel", True)
+    )
+    config = config.replace(frozen_head=not head_trainable)
     n_train, n_frozen = trainable_param_count(params, mask)
     print(f"No. of trainable params: {n_train:,}")
     print(f"No. of non-trainable params: {n_frozen:,}")

@@ -56,6 +56,27 @@ def test_fused_linear_ce_matches_plain_fwd_and_grads():
     np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk2), rtol=1e-4, atol=1e-4)
 
 
+def test_fused_linear_ce_frozen_head():
+    """kernel_grad=False (frozen LM head): identical loss and dH, zero dK — the
+    backward skips the dK GEMM + fp32 [D, V] accumulator entirely."""
+    rng = np.random.default_rng(3)
+    N, D, V = 16, 8, 32
+    hidden = jnp.asarray(rng.standard_normal((N, D)).astype(np.float32))
+    kernel = jnp.asarray(rng.standard_normal((D, V)).astype(np.float32) * 0.1)
+    labels = jnp.asarray(rng.integers(0, V, (N,)))
+    labels = labels.at[:3].set(-100)
+
+    def fused(h, k, kernel_grad):
+        return fused_linear_cross_entropy(h, k, labels, 4, kernel_grad)
+
+    l1, (gh1, gk1) = jax.value_and_grad(fused, argnums=(0, 1))(hidden, kernel, True)
+    l2, (gh2, gk2) = jax.value_and_grad(fused, argnums=(0, 1))(hidden, kernel, False)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gh1), np.asarray(gh2), rtol=1e-6, atol=1e-6)
+    assert not np.any(np.asarray(gk2))
+    assert np.any(np.asarray(gk1))
+
+
 def test_document_mask_truth_table():
     """Same-document AND causal (train_metamathqa.py:67-68 semantics)."""
     seg = jnp.asarray([[1, 1, 2, 2, 0]])
