@@ -57,6 +57,9 @@ INT8_BWD = True
 # 898.6 vs 933.5 ms against flash_proj in ablation and 897 ms / 74.97% MFU in the
 # driver-shaped bench (2026-08-18); the full-q8 variants OOM at 8B/S=4096
 REMAT = "flash_q8s"
+# fused-CE vocab GEMMs (fwd logits, bwd recompute, dH) on the int8 MXU path — the
+# frozen head is the last bf16 GEMM in the step; --no_int8_head reverts
+INT8_HEAD = True
 
 
 def build_8b_qlora():
@@ -76,6 +79,7 @@ def build_8b_qlora():
         # and its [D, V] fp32 chunk-loop accumulator (both otherwise computed and
         # then discarded by the optimizer mask)
         frozen_head=True,
+        int8_head=INT8_HEAD,
     )
     L, D = config.num_layers, config.embed_dim
     HD, NH, NKV, F, V = config.head_dim, config.num_heads, config.num_kv_heads, config.intermediate_dim, config.vocab_size
@@ -267,7 +271,7 @@ def bench_1b():
 
 
 def main():
-    global INT8_BWD, REMAT
+    global INT8_BWD, REMAT, INT8_HEAD
     import argparse
     import os
     import subprocess
@@ -284,9 +288,12 @@ def main():
                         help="bf16 dgrads through the frozen base (pre-int8-bwd behavior)")
     parser.add_argument("--remat", default=REMAT,
                         help="remat policy for the 8B step (flash / flash_qkv / flash_proj / *_q8)")
+    parser.add_argument("--no_int8_head", action="store_true",
+                        help="bf16 fused-CE vocab GEMMs (pre-int8-head behavior)")
     args = parser.parse_args()
     INT8_BWD = not args.no_int8_bwd
     REMAT = args.remat
+    INT8_HEAD = not args.no_int8_head
 
     diag = {
         "metric": "mfu_8b_qlora_prefix_lm" if args.model == "8b" else "audio_text_tokens_per_sec_per_chip",

@@ -24,6 +24,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from llama_x_tpu.ops.attention import MaskInfo, dot_product_attention
 from llama_x_tpu.ops.cross_entropy import cross_entropy_loss, fused_linear_cross_entropy
@@ -70,6 +71,10 @@ class LlamaConfig:
     frozen_head: bool = False
     dynamic_int8_act: bool = False  # set by the quantize transform
     dynamic_int8_bwd: bool = False  # int8 MXU dgrads through the frozen base (ops/int8.py)
+    # run the fused-CE vocab GEMMs on the int8 MXU path (requires frozen_head — the
+    # head is the last frozen GEMM still riding bf16 when the trunk is int8). Lossy
+    # only in int8 rounding; quality artifact: runs/int8_head_quality.
+    int8_head: bool = False
     norm_eps: float = 1e-5
     # remat policy when activation_checkpointing: "full" recomputes everything;
     # "dots" saves matmul outputs (jax dots_with_no_batch_dims_saveable) — faster
@@ -425,6 +430,180 @@ def _ff_q8_bwd(config, res, g):
 
 feed_forward_q8.defvjp(_ff_q8_fwd, _ff_q8_bwd)
 
+
+# ---------------------------------------------------------------------------
+# attn_q8: the attention half as its own custom_vjp with int8 residuals.
+#
+# Under the checkpoint-based q8 policies the backward still RE-RUNS the q/k/v int8
+# GEMMs + their act-quant producers + rope to rebuild the flash kernel's inputs
+# (flash_residuals saves only out+lse) — measured 92.7 ms/step inside the remat
+# region at 8B (runs/profile_8b/top_ops.json checkpoint.10). Saving post-rope
+# q/k/v and the flash output as rowwise int8 costs half the bytes of the bf16
+# saves that OOM'd (flash_proj_q8s, tools/repro_q8_compile.py) and removes every
+# GEMM recompute from the attention backward: what re-runs is one rms_norm (VPU)
+# and one rope transpose. Same technique as feed_forward_q8 above — a checkpoint
+# policy cannot re-encode saves, so the save-as-int8 needs a manual vjp.
+#
+# MEASURED NEGATIVE at 8B (2026-08-19, don't re-default without re-measuring):
+# attn_q8s benches 887.3 ms vs flash_q8s's 873.9 — the quantize/dequantize passes
+# over q/k/v/attn (~8 GB/step of extra HBM traffic) plus the model-layout<->head-
+# major transposes the saved-bf16 path avoids cost MORE than the ~25 ms of int8
+# GEMM recompute they remove; the recompute rides the MXU while the overhead is
+# bandwidth-bound on an already bandwidth-tight step. Kept as a supported variant:
+# the trade flips wherever recompute is pricier or HBM is freer (longer S, fatter
+# heads, trainable base where the replay can't DCE weight-grad GEMMs).
+# ---------------------------------------------------------------------------
+
+
+def _q8_rows(t):
+    """Rowwise int8 over the last axis. Returns (int8 same-shape, scales [leading])."""
+    from llama_x_tpu.ops.int8 import quantize_int8_rowwise
+
+    lead = t.shape[:-1]
+    q, s = quantize_int8_rowwise(t.reshape(-1, t.shape[-1]))
+    return q.reshape(t.shape), s.reshape(lead)
+
+
+def _q8_deq(q, s, dtype):
+    return (q.astype(jnp.float32) * s.astype(jnp.float32)[..., None]).astype(dtype)
+
+
+@_functools.lru_cache(maxsize=None)
+def _make_attention_q8(config: "LlamaConfig", causal: bool, has_seg: bool,
+                       has_kvseg: bool, has_prefix: bool):
+    from llama_x_tpu.ops.attention import MaskInfo as _MI
+    from llama_x_tpu.ops.attention import dot_product_attention as _dpa
+    from llama_x_tpu.ops.flash_attention import (
+        flash_bwd_from_res,
+        flash_fwd_with_lse,
+        flash_plan,
+    )
+
+    c = config
+
+    def _mi(qseg, kseg, prefix):
+        return _MI(
+            causal=causal,
+            segment_ids=qseg if has_seg else None,
+            kv_segment_ids=kseg if has_kvseg else None,
+            prefix_len=prefix if has_prefix else None,
+        )
+
+    def _compute(p, norm_scale, h, rope, qseg, kseg, prefix):
+        B, S, _ = h.shape
+        x = rms_norm(h, norm_scale, c.norm_eps)
+        q, k, v = apply_linear_grouped(
+            x, (p["wq"], p["wk"], p["wv"]),
+            dynamic_int8_act=c.dynamic_int8_act, dynamic_int8_bwd=c.dynamic_int8_bwd,
+        )
+        q = apply_rope(q.reshape(B, S, c.num_heads, c.head_dim), rope)
+        k = apply_rope(k.reshape(B, S, c.num_kv_heads, c.head_dim), rope)
+        v = v.reshape(B, S, c.num_kv_heads, c.head_dim)
+        mi = _mi(qseg, kseg, prefix)
+        plan = flash_plan(q.shape, k.shape, mi)
+        if plan is not None:
+            out, lse = flash_fwd_with_lse(q, k, v, mi, plan)
+        else:
+            out, lse = _dpa(q, k, v, mi), None
+        attn = out.reshape(B, S, c.num_heads * c.head_dim)
+        o = apply_linear(
+            attn, p["wo"], dynamic_int8_act=c.dynamic_int8_act, dynamic_int8_bwd=c.dynamic_int8_bwd
+        )
+        return o, (q, k, v, attn, lse)
+
+    @jax.custom_vjp
+    def f(p, norm_scale, h, rope, qseg, kseg, prefix):
+        return _compute(p, norm_scale, h, rope, qseg, kseg, prefix)[0]
+
+    def f_fwd(p, norm_scale, h, rope, qseg, kseg, prefix):
+        o, (q, k, v, attn, lse) = _compute(p, norm_scale, h, rope, qseg, kseg, prefix)
+        return o, (
+            p, norm_scale, h, rope, qseg, kseg, prefix,
+            *_q8_rows(q), *_q8_rows(k), *_q8_rows(v), *_q8_rows(attn), lse,
+        )
+
+    def f_bwd(res, g):
+        (p, norm_scale, h, rope, qseg, kseg, prefix,
+         q_i8, q_s, k_i8, k_s, v_i8, v_s, a_i8, a_s, lse) = res
+        B, S, _ = h.shape
+        dt = h.dtype
+        q = _q8_deq(q_i8, q_s, dt)
+        k = _q8_deq(k_i8, k_s, dt)
+        v = _q8_deq(v_i8, v_s, dt)
+        attn = _q8_deq(a_i8, a_s, dt)
+        mi = _mi(qseg, kseg, prefix)
+
+        def lin(pp, xx):
+            return apply_linear(
+                xx, pp, dynamic_int8_act=c.dynamic_int8_act, dynamic_int8_bwd=c.dynamic_int8_bwd
+            )
+
+        _, vjp_o = jax.vjp(lin, p["wo"], attn)
+        dwo, dattn = vjp_o(g)
+        do = dattn.reshape(B, S, c.num_heads, c.head_dim)
+
+        plan = flash_plan(q.shape, k.shape, mi)
+        if plan is not None:
+            out4 = attn.reshape(B, S, c.num_heads, c.head_dim)
+            dq, dk, dv = flash_bwd_from_res(q, k, v, out4, lse, do, mi, plan)
+        else:
+            _, vjp_a = jax.vjp(lambda qq, kk, vv: _dpa(qq, kk, vv, mi), q, k, v)
+            dq, dk, dv = vjp_a(do)
+
+        # rope is a rotation (linear in q/k): its vjp is primal-independent, so taking
+        # it at the dequantized primal is exact
+        _, vjp_rq = jax.vjp(lambda t: apply_rope(t, rope), q)
+        (dq,) = vjp_rq(dq)
+        _, vjp_rk = jax.vjp(lambda t: apply_rope(t, rope), k)
+        (dk,) = vjp_rk(dk)
+
+        x = rms_norm(h, norm_scale, c.norm_eps)
+
+        def qkv(pps, xx):
+            return apply_linear_grouped(
+                xx, pps, dynamic_int8_act=c.dynamic_int8_act, dynamic_int8_bwd=c.dynamic_int8_bwd
+            )
+
+        _, vjp_qkv = jax.vjp(qkv, (p["wq"], p["wk"], p["wv"]), x)
+        (dwq, dwk, dwv), dx = vjp_qkv(
+            (dq.reshape(B, S, -1), dk.reshape(B, S, -1), dv.reshape(B, S, -1))
+        )
+        _, vjp_n = jax.vjp(lambda hh, sc: rms_norm(hh, sc, c.norm_eps), h, norm_scale)
+        dh, dscale = vjp_n(dx)
+
+        def _int_cot(t):
+            return None if t is None else np.zeros(t.shape, jax.dtypes.float0)
+
+        return (
+            {"wq": dwq, "wk": dwk, "wv": dwv, "wo": dwo}, dscale, dh,
+            jnp.zeros_like(rope), _int_cot(qseg), _int_cot(kseg), _int_cot(prefix),
+        )
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def attention_q8(config: LlamaConfig, p: Params, norm_scale: jnp.ndarray, h: jnp.ndarray,
+                 rope: jnp.ndarray, mask_info) -> jnp.ndarray:
+    """rms_norm + GQA attention with rowwise-int8 backward residuals (post-rope q/k/v
+    + the pre-o_proj attention output saved int8; no GEMM recompute in the backward).
+    Training path only: no cache, no dropout (trunk falls back to the checkpointed
+    q8 path when dropout is active)."""
+    mi = mask_info
+    f = _make_attention_q8(
+        config, bool(mi.causal), mi.segment_ids is not None,
+        mi.kv_segment_ids is not None, mi.prefix_len is not None,
+    )
+    # dummies keep the custom_vjp arity fixed; the static flags gate their use
+    zi = jnp.zeros((1,), jnp.int32)
+    return f(
+        p, norm_scale, h, rope,
+        mi.segment_ids if mi.segment_ids is not None else zi,
+        mi.kv_segment_ids if mi.kv_segment_ids is not None else zi,
+        mi.prefix_len if mi.prefix_len is not None else zi,
+    )
+
+
 # q8 remat policies: attention region keeps the mapped policy's saves; the MLP runs
 # outside the checkpoint as feed_forward_q8 (int8 residuals replace its recompute).
 # "_q8" saves h1+h3 rowwise-int8 (no w1/w3 recompute at all); "_q8s" saves h1 only
@@ -436,6 +615,13 @@ _Q8_POLICIES = {
     "flash_q8s": "flash",
     "flash_qkv_q8s": "flash_qkv",
     "flash_proj_q8s": "flash_proj",
+}
+
+# attention_q8 + feed_forward_q8 (no jax.checkpoint anywhere); values = the
+# checkpointed fallback when the attention custom_vjp can't apply (dropout)
+_ATTN_Q8_POLICIES = {
+    "attn_q8": "flash_q8",
+    "attn_q8s": "flash_q8s",
 }
 
 
@@ -491,6 +677,8 @@ def remat_policy(config: LlamaConfig):
         # policy; the q8 int8-residual MLP itself only engages through trunk()'s
         # dedicated branch
         return remat_policy(config.replace(remat_policy=_Q8_POLICIES[config.remat_policy]))
+    if config.remat_policy in _ATTN_Q8_POLICIES:
+        return remat_policy(config.replace(remat_policy=_ATTN_Q8_POLICIES[config.remat_policy]))
     return None
 
 
@@ -528,6 +716,27 @@ def trunk(
     )
 
     if kv_cache is None:
+        if (
+            config.activation_checkpointing
+            and config.remat_policy in _ATTN_Q8_POLICIES
+            and layer_rngs is None  # attention_q8 has no dropout path
+        ):
+            # fully checkpoint-free layer: BOTH halves are custom_vjps with explicit
+            # int8 residuals — the backward re-runs no GEMM at all (see attention_q8)
+            def body(carry, scanned):
+                p, _rng = scanned
+                h = carry + attention_q8(
+                    config, p["attention"], p["attention_norm"]["scale"], carry, rope, mask_info
+                )
+                return h + feed_forward_q8(config, p["feed_forward"], p["ffn_norm"]["scale"], h), None
+
+            x, _ = jax.lax.scan(body, x, (layer_params, layer_rngs))
+            return x, None
+
+        if config.activation_checkpointing and config.remat_policy in _ATTN_Q8_POLICIES:
+            # dropout active: fall back to the checkpointed q8 family (same MLP saves)
+            config = config.replace(remat_policy=_ATTN_Q8_POLICIES[config.remat_policy])
+
         if config.activation_checkpointing and config.remat_policy in _Q8_POLICIES:
             # q8 mode: checkpoint ONLY the attention half; the MLP runs outside the
             # region as feed_forward_q8, whose int8 residuals are what get saved
@@ -589,7 +798,7 @@ def head(params: Params, config: LlamaConfig, x: jnp.ndarray, labels: jnp.ndarra
         n = x.shape[0] * x.shape[1]
         return fused_linear_cross_entropy(
             x.reshape(n, -1), kernel, labels.reshape(n), config.fused_ce_chunks,
-            not config.frozen_head,
+            not config.frozen_head, config.int8_head and config.frozen_head,
         )
     logits = x @ kernel.astype(x.dtype)
     if labels is not None:

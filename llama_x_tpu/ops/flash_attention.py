@@ -603,6 +603,79 @@ def _make_flash(scale: float, causal: bool, has_seg: bool, has_prefix: bool, bq:
     return f
 
 
+def flash_plan(q_shape, k_shape, mask_info, block_q: int = 512, block_kv: int = 1024):
+    """Static plan (bq, bk) for the kernel on these shapes, or None when the kernel
+    doesn't apply (non-TPU, explicit positions, unaligned shapes). Shared gate for the
+    custom_vjp wrapper path and the residual-level API below."""
+    mi = mask_info or MaskInfo(causal=False)
+    B, Sq, Hq, D = q_shape
+    _, Skv, Hkv, _ = k_shape
+    bq = _pick_bq(Sq, block_q, Hq // max(Hkv, 1)) if Hkv and Hq % Hkv == 0 else None
+    bk = _pick_block(Skv, block_kv)
+    unsupported = (
+        (jax.default_backend() != "tpu" and not INTERPRET)
+        or mi.q_positions is not None
+        or mi.kv_positions is not None
+        or mi.kv_len is not None
+        or bq is None
+        or bk is None
+        or D % 64 != 0
+        or Hq % Hkv != 0
+    )
+    return None if unsupported else (bq, bk)
+
+
+def _seg_operands(mi: MaskInfo, B: int, Sq: int, Skv: int):
+    has_seg = mi.segment_ids is not None
+    kv_seg = mi.kv_segment_ids if mi.kv_segment_ids is not None else mi.segment_ids
+    has_prefix = mi.prefix_len is not None
+    qseg = mi.segment_ids.astype(jnp.int32).reshape(B, Sq, 1) if has_seg else None
+    kseg = kv_seg.astype(jnp.int32).reshape(B, 1, Skv) if has_seg else None
+    prefix = mi.prefix_len.astype(jnp.int32).reshape(B, 1) if has_prefix else None
+    return qseg, kseg, prefix
+
+
+def flash_fwd_with_lse(q, k, v, mask_info, plan, scale: float | None = None):
+    """Residual-level forward: model-layout [B, S, H, D] in/out, also returns the fp32
+    lse [B, Hq, Sq, 1]. For callers that manage their own remat residuals (the int8
+    attention custom_vjp in models/llama.py) — no inner custom_vjp, no checkpoint
+    names; pair with flash_bwd_from_res. No dropout (callers fall back)."""
+    mi = mask_info or MaskInfo(causal=False)
+    B, Sq, Hq, D = q.shape
+    _, Skv, _, _ = k.shape
+    bq, bk = plan
+    if scale is None:
+        scale = 1.0 / (D**0.5)
+    qseg, kseg, prefix = _seg_operands(mi, B, Sq, Skv)
+    out, lse = _fwd(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+        qseg, kseg, prefix, scale=float(scale), causal=bool(mi.causal), bq=bq, bk=bk,
+    )
+    return out.transpose(0, 2, 1, 3), lse
+
+
+def flash_bwd_from_res(q, k, v, out, lse, do, mask_info, plan, scale: float | None = None):
+    """Backward from saved (out, lse) residuals: model-layout q/k/v/out/do in,
+    model-layout (dq, dk, dv) out. The counterpart of flash_fwd_with_lse."""
+    mi = mask_info or MaskInfo(causal=False)
+    B, Sq, Hq, D = q.shape
+    _, Skv, _, _ = k.shape
+    bq, bk = plan
+    if scale is None:
+        scale = 1.0 / (D**0.5)
+    qseg, kseg, prefix = _seg_operands(mi, B, Sq, Skv)
+    dq, dk, dv = _bwd(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+        qseg, kseg, prefix, out.transpose(0, 2, 1, 3), lse, do.transpose(0, 2, 1, 3),
+        scale=float(scale), causal=bool(mi.causal), bq=bq, bk=bk,
+    )
+    return (
+        dq.transpose(0, 2, 1, 3),
+        dk.transpose(0, 2, 1, 3),
+        dv.transpose(0, 2, 1, 3),
+    )
+
+
 def _pick_block(s: int, target: int, candidates: tuple = (512, 256, 128)) -> int | None:
     for b in (target, *candidates):
         if b <= s and s % b == 0:
@@ -643,22 +716,12 @@ def flash_attention(
     mi = mask_info or MaskInfo(causal=False)
     B, Sq, Hq, D = q.shape
     _, Skv, Hkv, _ = k.shape
-    bq = _pick_bq(Sq, block_q, Hq // max(Hkv, 1)) if Hkv and Hq % Hkv == 0 else None
-    bk = _pick_block(Skv, block_kv)
-    unsupported = (
-        (jax.default_backend() != "tpu" and not INTERPRET)
-        or mi.q_positions is not None
-        or mi.kv_positions is not None
-        or mi.kv_len is not None
-        or bq is None
-        or bk is None
-        or D % 64 != 0
-        or Hq % Hkv != 0
-    )
-    if unsupported:
+    plan = flash_plan(q.shape, k.shape, mask_info, block_q, block_kv)
+    if plan is None:
         return dot_product_attention(
             q, k, v, mask_info, scale, dropout_rate=dropout_rate, dropout_rng=dropout_rng
         )
+    bq, bk = plan
 
     if scale is None:
         scale = 1.0 / (D**0.5)

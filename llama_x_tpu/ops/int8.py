@@ -38,6 +38,21 @@ def quantize_int8_rowwise(x: jnp.ndarray):
     return q, scale.astype(dtype)
 
 
+def quantize_int8_colwise(x: jnp.ndarray):
+    """Symmetric colwise int8 quant. x: [R, C] float -> (int8 [R, C], scale [C] x.dtype).
+
+    Per-COLUMN scales (absmax over axis 0) — the orientation needed when the quantized
+    matrix is the RIGHT GEMM operand and the scale must factor over the output columns
+    (e.g. the [D, V] LM head in the fused CE: scale per vocab entry). Same fp32 math /
+    clipping / round-half-to-even as quantize_int8_rowwise."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=0) / 127.0
+    q = xf / jnp.clip(scale, 1e-12, None)[None, :]
+    q = jnp.rint(q).astype(jnp.int8)
+    return q, scale.astype(dtype)
+
+
 def _int8_mm_dequant_xla(a_i8, b_i8, row_scale, col_scale, out_dtype):
     """XLA fallback for the Pallas kernel: int8 x int8 -> int32, dequant epilogue.
 
@@ -58,14 +73,19 @@ def _int8_mm_dequant_xla(a_i8, b_i8, row_scale, col_scale, out_dtype):
     return out.astype(out_dtype)
 
 
-def int8_mm_dequant(a_i8, b_i8, row_scale, col_scale, out_dtype=jnp.bfloat16):
+def int8_mm_dequant(a_i8, b_i8, row_scale, col_scale, out_dtype=jnp.bfloat16,
+                    block_m=None, block_n=None, block_k=None):
     """int8 GEMM with fused dequant. Dispatches to the Pallas MXU kernel on TPU,
     XLA fallback elsewhere. Equivalent of torch.ops.torchao.int8_mm_dequant
-    (subclasses/int8_mm.py:121-149)."""
+    (subclasses/int8_mm.py:121-149). block_* override the swept defaults (needed for
+    shapes like the 128256 vocab where the defaults don't divide)."""
     from llama_x_tpu.ops import int8_mm as _pallas
 
     if _pallas.pallas_int8_available():
-        return _pallas.int8_mm_dequant_pallas(a_i8, b_i8, row_scale, col_scale, out_dtype)
+        return _pallas.int8_mm_dequant_pallas(
+            a_i8, b_i8, row_scale, col_scale, out_dtype,
+            block_m=block_m, block_n=block_n, block_k=block_k,
+        )
     return _int8_mm_dequant_xla(a_i8, b_i8, row_scale, col_scale, out_dtype)
 
 
@@ -85,13 +105,17 @@ def _int8_mm_dequant_nt_xla(a_i8, b_nk_i8, row_scale, col_scale, out_dtype):
     return out.astype(out_dtype)
 
 
-def int8_mm_dequant_nt(a_i8, b_nk_i8, row_scale, col_scale, out_dtype=jnp.bfloat16):
+def int8_mm_dequant_nt(a_i8, b_nk_i8, row_scale, col_scale, out_dtype=jnp.bfloat16,
+                       block_m=None, block_n=None, block_k=None):
     """int8 GEMM with the weight in its NATIVE [out, in] layout (no transpose in the
     graph — see int8_mm.int8_mm_dequant_nt_pallas for why this is load-bearing at 8B)."""
     from llama_x_tpu.ops import int8_mm as _pallas
 
     if _pallas.pallas_int8_available():
-        return _pallas.int8_mm_dequant_nt_pallas(a_i8, b_nk_i8, row_scale, col_scale, out_dtype)
+        return _pallas.int8_mm_dequant_nt_pallas(
+            a_i8, b_nk_i8, row_scale, col_scale, out_dtype,
+            block_m=block_m, block_n=block_n, block_k=block_k,
+        )
     return _int8_mm_dequant_nt_xla(a_i8, b_nk_i8, row_scale, col_scale, out_dtype)
 
 

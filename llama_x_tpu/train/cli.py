@@ -58,7 +58,11 @@ def add_common_args(parser: argparse.ArgumentParser):
         help="GPipe microbatches per step when the mesh has a pp axis (0 = pp size)",
     )
     parser.add_argument("--attn_impl", default="auto", choices=["auto", "xla", "flash", "ring", "ulysses"])
-    parser.add_argument("--remat_policy", default="full", choices=["full", "dots", "dots_flash", "flash", "flash_qkv", "flash_proj"])
+    parser.add_argument("--remat_policy", default="full", choices=[
+        "full", "dots", "dots_flash", "flash", "flash_qkv", "flash_proj",
+        "flash_q8", "flash_q8s", "flash_qkv_q8", "flash_qkv_q8s",
+        "flash_proj_q8", "flash_proj_q8s", "attn_q8", "attn_q8s",
+    ])
     parser.add_argument("--fused_ce_chunks", type=int, default=0)
     parser.add_argument(
         "--synthetic", type=int, default=0,
@@ -192,8 +196,13 @@ def build_model_params(args, model_cls, mesh=None, init_kwargs=None, hf_kwargs=N
     if args.quantize:
         dynamic = bool(args.quantize_kwargs.get("dynamic_int8_act", False))
         dynamic_bwd = bool(args.quantize_kwargs.get("dynamic_int8_bwd", False))
+        # int8 fused-CE head (quality: runs/int8_head_quality) — only engages when the
+        # mask-derived frozen_head below is also true
+        int8_head = bool(args.quantize_kwargs.get("int8_head", False))
         params = dict(params, layers=quantize_linear(params["layers"], args.quantize))
-        config = config.replace(dynamic_int8_act=dynamic, dynamic_int8_bwd=dynamic_bwd)
+        config = config.replace(
+            dynamic_int8_act=dynamic, dynamic_int8_bwd=dynamic_bwd, int8_head=int8_head
+        )
     if args.adapter:
         params = dict(
             params,

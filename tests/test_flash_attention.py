@@ -143,3 +143,61 @@ def test_all_true_predicate_safe_and_useful(rng):
     # uniform-segment tile strictly below the diagonal
     u = jnp.ones((bq, 1), jnp.int32)
     assert bool(fa._all_true(512, 0, bq, bk, causal=True, qseg=u, kseg=u.T, prefix=None))
+
+
+def test_attention_q8_flash_path_matches_oracle(rng):
+    """attention_q8 (manual vjp, int8 residuals) through the REAL flash path
+    (interpret mode): primal matches the rms_norm+oracle-attention+o_proj reference
+    to kernel tolerance; grads match within int8-residual noise. Covers the
+    flash_fwd_with_lse / flash_bwd_from_res plumbing incl. doc+prefix masks."""
+    from llama_x_tpu.models import llama
+    from llama_x_tpu.ops.norms import rms_norm
+
+    B, S, Hq, Hkv, D = 2, 256, 4, 2, 64
+    E = Hq * D
+    config = llama.LlamaConfig(
+        embed_dim=E, num_layers=1, head_dim=D, num_heads=Hq, num_kv_heads=Hkv,
+        intermediate_dim=2 * E, max_seq_len=S, vocab_size=64, attn_impl="flash",
+    )
+    mk = lambda *shape: jnp.asarray(rng.standard_normal(shape).astype(np.float32) * (1.0 / np.sqrt(shape[0])))
+    p = {
+        "wq": {"kernel": mk(E, Hq * D)},
+        "wk": {"kernel": mk(E, Hkv * D)},
+        "wv": {"kernel": mk(E, Hkv * D)},
+        "wo": {"kernel": mk(Hq * D, E)},
+    }
+    norm_scale = jnp.ones((E,), jnp.float32)
+    h = jnp.asarray(rng.standard_normal((B, S, E)).astype(np.float32) * 0.5)
+    rope = llama.build_rope(S, D, 10_000.0, False)
+    segs = jnp.asarray(np.sort(rng.integers(1, 4, (B, S)), axis=1).astype(np.int32))
+    prefix = jnp.asarray(rng.integers(8, S // 4, (B,)).astype(np.int32))
+    mi = MaskInfo(causal=True, segment_ids=segs, prefix_len=prefix)
+
+    def ref(p, h):
+        from llama_x_tpu.ops.linear import apply_linear, apply_linear_grouped
+        from llama_x_tpu.ops.rope import apply_rope
+
+        x = rms_norm(h, norm_scale, config.norm_eps)
+        q, k, v = apply_linear_grouped(x, (p["wq"], p["wk"], p["wv"]))
+        q = apply_rope(q.reshape(B, S, Hq, D), rope)
+        k = apply_rope(k.reshape(B, S, Hkv, D), rope)
+        out = dot_product_attention(q, k, v.reshape(B, S, Hkv, D), mi)
+        return apply_linear(out.reshape(B, S, Hq * D), p["wo"])
+
+    probe = jnp.asarray(rng.standard_normal((B, S, E)).astype(np.float32))
+
+    def scalar(fn):
+        return lambda p, h: jnp.sum(fn(p, h) * probe)
+
+    o_q8 = llama.attention_q8(config, p, norm_scale, h, rope, mi)
+    o_ref = ref(p, h)
+    np.testing.assert_allclose(np.asarray(o_q8), np.asarray(o_ref), rtol=2e-2, atol=2e-3)
+
+    g_q8 = jax.grad(scalar(lambda p, h: llama.attention_q8(config, p, norm_scale, h, rope, mi)), argnums=(0, 1))(p, h)
+    g_ref = jax.grad(scalar(ref), argnums=(0, 1))(p, h)
+    flat_q8, flat_ref = jax.tree.leaves(g_q8), jax.tree.leaves(g_ref)
+    assert len(flat_q8) == len(flat_ref)
+    for a, b in zip(flat_ref, flat_q8):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        denom = np.abs(a).max() + 1e-30
+        np.testing.assert_allclose(b / denom, a / denom, atol=0.04)

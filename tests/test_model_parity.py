@@ -137,7 +137,7 @@ def test_decode_matches_full_forward():
         )
 
 
-@pytest.mark.parametrize("policy", ["flash_proj_q8", "flash_proj_q8s"])
+@pytest.mark.parametrize("policy", ["flash_proj_q8", "flash_proj_q8s", "attn_q8", "attn_q8s"])
 def test_q8_remat_forward_exact_and_grads_close(policy):
     """"flash_proj_q8" (int8-residual MLP outside the attention checkpoint region):
     forward must be bit-identical to the plain path (the primal computes from exact

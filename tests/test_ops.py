@@ -77,6 +77,32 @@ def test_fused_linear_ce_frozen_head():
     assert np.any(np.asarray(gk1))
 
 
+def test_fused_linear_ce_int8_head():
+    """head_int8: loss and dH track the f32 path within int8-rounding tolerance
+    (rowwise h / colwise K / rowwise scale-folded dlogits quantization)."""
+    rng = np.random.default_rng(7)
+    N, D, V = 64, 32, 128
+    hidden = jnp.asarray(rng.standard_normal((N, D)).astype(np.float32))
+    kernel = jnp.asarray(rng.standard_normal((D, V)).astype(np.float32) * 0.05)
+    labels = jnp.asarray(rng.integers(0, V, (N,)))
+    labels = labels.at[:5].set(-100)
+
+    def fused(h, head_int8):
+        return fused_linear_cross_entropy(h, kernel, labels, 4, False, head_int8)
+
+    l_ref, gh_ref = jax.value_and_grad(fused)(hidden, False)
+    l_q, gh_q = jax.value_and_grad(fused)(hidden, True)
+    np.testing.assert_allclose(float(l_q), float(l_ref), rtol=2e-2)
+    # dH: compare in relative Frobenius norm — per-element tolerance is meaningless
+    # for near-zero entries of a quantized gradient
+    num = float(jnp.linalg.norm(gh_q.astype(jnp.float32) - gh_ref.astype(jnp.float32)))
+    den = float(jnp.linalg.norm(gh_ref.astype(jnp.float32)))
+    assert num / den < 0.05, (num, den)
+
+    with np.testing.assert_raises(ValueError):
+        fused_linear_cross_entropy(hidden, kernel, labels, 4, True, True)
+
+
 def test_document_mask_truth_table():
     """Same-document AND causal (train_metamathqa.py:67-68 semantics)."""
     seg = jnp.asarray([[1, 1, 2, 2, 0]])
