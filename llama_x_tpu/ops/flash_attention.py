@@ -225,13 +225,13 @@ def _fwd_kernel(*refs, scale, causal, has_seg, has_prefix, has_offsets, dropout_
     def compute(masked):
         q = q_ref[0, 0].reshape(rows, -1)  # [group*bq, D]
         k = k_ref[0, 0]  # [bk, D]
+        # q arrives PRE-SCALED by scale*log2e (folded in XLA where it fuses into the
+        # layout transpose), so s lands directly in the base-2 online-softmax domain —
+        # the former `s *= scale*log2e` was a full fp32 VPU pass over every computed
+        # [rows, bk] tile. exp/log then run as the VPU-native exp2/log2.
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        # base-2 online softmax: fold log2(e) into the logit scale so exp/log run as
-        # the VPU-native exp2/log2 (exp(x) otherwise lowers to exp2(x*log2e) + a mul
-        # on every [rows, bk] tile); values of p/l/alpha are bit-identical math
-        s *= scale * _LOG2E
         if masked:
             mask = _build_mask(
                 q_start, kv_start, bq, bk, causal=causal, qseg=qseg, kseg=kseg, prefix=prefix,
@@ -294,6 +294,12 @@ def _fwd(q, k, v, qseg, kseg, prefix, *, scale, causal, bq, bk, offsets=None,
     has_offsets = offsets is not None
     if seed is None:
         dropout_rate = 0.0
+
+    # fold scale*log2e into q HERE (f32 mul, one rounding to q.dtype — same error
+    # class as the bf16 inputs themselves); the kernel's softmax then runs directly
+    # in the base-2 domain with zero per-tile scaling passes. The backward performs
+    # the IDENTICAL fold so its recomputed s matches the stored lse bit-for-bit.
+    q = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
 
     # q is viewed [B, Hkv, group, Sq, D]: one grid cell processes a kv head's whole GQA
     # group — K/V stream once per group (not once per q head) and the mask tile is
@@ -396,8 +402,9 @@ def _bwd_dkv_kernel(*refs, scale, causal, has_seg, has_prefix, has_offsets, drop
     def compute(masked):
         q = q_ref[0, 0].reshape(rows, -1)  # whole GQA group stacked [group*bq, D]
         k = k_ref[0, 0]
+        # q is pre-scaled by scale*log2e (identically to the forward, see _bwd), so s
+        # is already in the base-2 domain — no per-tile scaling pass
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        s *= scale * _LOG2E  # base-2 domain (see _fwd_kernel)
         if masked:
             mask = _build_mask(
                 q_start, kv_start, bq, bk, causal=causal, qseg=qseg, kseg=kseg, prefix=prefix,
@@ -418,7 +425,12 @@ def _bwd_dkv_kernel(*refs, scale, causal, has_seg, has_prefix, has_offsets, drop
         dp = jax.lax.dot_general(do, v_ref[0, 0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         if keep is not None:
             dp = dp * keep
-        ds = p * (dp - delta_ref[0, 0].reshape(rows, 1)) * scale  # [group*bq, bk]
+        # scale bookkeeping with the pre-scaled q (qs = q·scale·log2e):
+        #   ds2 = ln2·p∘(dp − delta)   (same single fused mul the old `*scale` cost)
+        #   dk  = ds2ᵀ·qs  ==  scale·(p∘(dp−delta))ᵀ·q          (ln2·log2e == 1)
+        #   dq  = (ds2·k)·scale·log2e  — the last factor applied ONCE in XLA on the
+        #         partials reduction, not per tile
+        ds = p * (dp - delta_ref[0, 0].reshape(rows, 1)) * _LN2  # [group*bq, bk]
         dk_acc[:] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -470,6 +482,11 @@ def _bwd(q, k, v, qseg, kseg, prefix, out, lse, do, *, scale, causal, bq, bk,
     if delta is None:
         # delta = rowsum(dO * O), carried with trailing singleton: [B, Hq, Sq, 1]
         delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True)
+
+    # IDENTICAL scale*log2e fold as the forward (same f32 mul, same rounding), so the
+    # kernel's recomputed s matches the stored lse exactly; see the ds2/dk/dq scale
+    # bookkeeping in _bwd_dkv_kernel
+    q = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
 
     # q-side arrays viewed [B, Hkv, group, ...] so one grid cell handles a kv head's
     # whole GQA group: K/V stream once per group, the mask tile is shared, and dk/dv
@@ -554,7 +571,8 @@ def _bwd(q, k, v, qseg, kseg, prefix, out, lse, do, *, scale, causal, bq, bk,
         interpret=INTERPRET,
     )(*operands)
 
-    dq = jnp.sum(dq_partials, axis=2, dtype=jnp.float32).reshape(B, Hq, Sq, D)
+    # the deferred dq scale (see kernel): one fused multiply on the partials reduction
+    dq = jnp.sum(dq_partials, axis=2, dtype=jnp.float32).reshape(B, Hq, Sq, D) * (scale * _LOG2E)
     if not cast:
         return dq, dk, dv  # fp32 — ring attention accumulates across kv blocks
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
