@@ -185,7 +185,7 @@ def _keep_for(seed, rate, rows, bk, b, h, i, j):
 
 
 
-def _fwd_kernel(*refs, scale, causal, has_seg, has_prefix, has_offsets, dropout_rate, bq, bk, group):
+def _fwd_kernel(*refs, causal, has_seg, has_prefix, has_offsets, dropout_rate, bq, bk, group):
     it = iter(refs)
     q_ref, k_ref, v_ref = next(it), next(it), next(it)
     qseg_ref = next(it) if has_seg else None
@@ -328,7 +328,7 @@ def _fwd(q, k, v, qseg, kseg, prefix, *, scale, causal, bq, bk, offsets=None,
         operands.append(seed)
 
     kernel = functools.partial(
-        _fwd_kernel, scale=scale, causal=causal, has_seg=has_seg, has_prefix=has_prefix,
+        _fwd_kernel, causal=causal, has_seg=has_seg, has_prefix=has_prefix,
         has_offsets=has_offsets, dropout_rate=dropout_rate, bq=bq, bk=bk, group=group,
     )
     out, lse = pl.pallas_call(
@@ -366,7 +366,7 @@ def _fwd(q, k, v, qseg, kseg, prefix, *, scale, causal, bq, bk, offsets=None,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dkv_kernel(*refs, scale, causal, has_seg, has_prefix, has_offsets, dropout_rate, bq, bk, group, fused_dq):
+def _bwd_dkv_kernel(*refs, causal, has_seg, has_prefix, has_offsets, dropout_rate, bq, bk, group, fused_dq):
     it = iter(refs)
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (next(it) for _ in range(6))
     qseg_ref = next(it) if has_seg else None
@@ -535,7 +535,7 @@ def _bwd(q, k, v, qseg, kseg, prefix, out, lse, do, *, scale, causal, bq, bk,
     # whole fwd+bwd). The dq partials cost nk x extra HBM transiently and one XLA
     # reduction, which is far cheaper than the recompute.
     static = dict(
-        scale=scale, causal=causal, has_seg=has_seg, has_prefix=has_prefix,
+        causal=causal, has_seg=has_seg, has_prefix=has_prefix,
         has_offsets=has_offsets, dropout_rate=dropout_rate, bq=bq, bk=bk, group=group,
         fused_dq=True,
     )
