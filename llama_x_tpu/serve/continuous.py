@@ -629,10 +629,12 @@ class ContinuousScheduler:
             row.event.set()
 
     def _dispatch_chunk(self):
-        """One decode dispatch over every slot. → (tokens [N, W] np, emitted [N] np,
-        done [N] np). Subclasses substitute their own chunk program (speculative
-        rounds) while keeping the scheduler loop's token-delivery contract: each
-        row's new tokens are the [:emitted_delta] prefix of its tokens row."""
+        """One decode dispatch over every slot. → (tokens [N, W], emitted [N],
+        done [N]) as DEVICE arrays (async — the caller syncs them one chunk later;
+        see _run's pipelining). Subclasses substitute their own chunk program
+        (speculative rounds) while keeping the scheduler loop's token-delivery
+        contract: each row's new tokens are the [:emitted_delta] prefix of its
+        tokens row."""
         keys = jax.random.split(self._split(), self.chunk_size)
         toks, self.state = decode_rows(
             self.params, self.config, self.state, keys,
@@ -642,20 +644,52 @@ class ContinuousScheduler:
             pad_id=self.pad_id,
         )
         self.dispatches += 1
-        return np.asarray(toks), np.asarray(self.state[4]), np.asarray(self.state[3])
+        # emitted/done are leaves of the DONATED state: the next dispatch deletes
+        # their buffers while this chunk is still awaiting collection — hand the
+        # collector its own (async, device-side) copies
+        return toks, self.state[4].copy(), self.state[3].copy()
+
+    def _collect(self, chunk):
+        """Sync one dispatched chunk's results and deliver them. ``chunk`` carries a
+        snapshot of the row list AT DISPATCH TIME: a slot whose occupant changed since
+        (finished last collect, new row admitted — its lane was dead during this
+        chunk) is skipped, otherwise the dead lane's stale ``emitted`` would be read
+        against the new row's counter."""
+        toks_d, emitted_d, done_d, snap = chunk
+        toks, emitted, done = np.asarray(toks_d), np.asarray(emitted_d), np.asarray(done_d)
+        for slot, row in enumerate(snap):
+            if row is None or row is not self.rows[slot]:
+                continue
+            # freeze is monotone: this chunk's valid tokens are a prefix
+            n_new = int(emitted[slot] - self.emitted_seen[slot])
+            self.emitted_seen[slot] = emitted[slot]
+            new = [int(t) for t in toks[slot, :n_new]]
+            row.tokens.extend(new)
+            self._deliver(row, new)
+            if done[slot]:
+                self._finish(slot)
 
     def _run(self):
+        # One chunk stays IN FLIGHT: chunk N is dispatched before chunk N-1's results
+        # are synced, so the device computes while the host walks tokens. Without this
+        # every chunk boundary idles the chip for a full device->host round-trip
+        # (~30 ms through the tunnel) — measured 0.75x vs serialized at 1B geometry,
+        # where the chunk's compute is too small to amortize the sync. The price is
+        # one chunk of lag on slot reuse and token delivery.
+        inflight = None  # (toks, emitted, done device arrays, rows snapshot)
         try:
             while True:
                 with self.cond:
                     while (not self._stop and not self.queue and not self.admitting
-                           and all(r is None for r in self.rows)):
+                           and all(r is None for r in self.rows) and inflight is None):
                         self.cond.wait()
                     if self._stop:
                         break
                     pending = self.queue
                     self.queue = []
-                # admit into free slots; overflow returns to the queue
+                # admit into free slots; overflow returns to the queue. The free-slot
+                # view lags one chunk: slots freed by the in-flight chunk are reused
+                # on the next iteration.
                 for slot in range(self.n_slots):
                     if pending and self.rows[slot] is None and slot not in self.admitting:
                         if self.prefill_chunk:
@@ -669,21 +703,15 @@ class ContinuousScheduler:
                 # a decode chunk between every pair of prefill chunks
                 for slot in list(self.admitting):
                     self._advance_prefill(slot)
-                if all(r is None for r in self.rows):
-                    continue
 
-                toks, emitted, done = self._dispatch_chunk()
-                for slot, row in enumerate(self.rows):
-                    if row is None:
-                        continue
-                    # freeze is monotone: this chunk's valid tokens are a prefix
-                    n_new = int(emitted[slot] - self.emitted_seen[slot])
-                    self.emitted_seen[slot] = emitted[slot]
-                    new = [int(t) for t in toks[slot, :n_new]]
-                    row.tokens.extend(new)
-                    self._deliver(row, new)
-                    if done[slot]:
-                        self._finish(slot)
+                nxt = None
+                if any(r is not None for r in self.rows):
+                    nxt = (*self._dispatch_chunk(), list(self.rows))
+                if inflight is not None:
+                    self._collect(inflight)
+                inflight = nxt
+            if inflight is not None:  # stop requested: flush the in-flight chunk
+                self._collect(inflight)
         except Exception as e:  # worker must never die silently
             with self.cond:
                 self.dead = e

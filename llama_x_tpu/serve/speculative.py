@@ -326,4 +326,5 @@ class SpeculativeScheduler(ContinuousScheduler):
         )
         self.dispatches += 1
         self.rounds_run += self.chunk_size
-        return np.asarray(toks), np.asarray(self.state[6]), np.asarray(self.state[5])
+        # copies: these leaves are donated into the next dispatch (see base class)
+        return toks, self.state[6].copy(), self.state[5].copy()

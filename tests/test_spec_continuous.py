@@ -146,8 +146,10 @@ def test_spec_self_draft_full_acceptance(models):
         r = sched.submit(p, max_tokens=13)
         assert r.event.wait(timeout=300) and r.error is None
         assert r.tokens == _isolated(params, config, p, 13)
-        # 1 admission token + ceil(12 / 4) rounds at full acceptance
-        assert sched.rounds_run == 3, sched.rounds_run
+        # 1 admission token + ceil(12 / 4) rounds at full acceptance, plus at most
+        # one extra round from the scheduler's in-flight pipelining (the host learns
+        # a row finished one chunk after the device froze it)
+        assert 3 <= sched.rounds_run <= 4, sched.rounds_run
     finally:
         sched.close()
 
